@@ -1,0 +1,53 @@
+"""Host-side image decode (JPEG/PNG/DICOM → uint8 RGB) [SURVEY §2.2].
+
+Division of labour [B:5]: the host ONLY decodes bytes and resizes to the
+fixed ingest resolution (static shape for jit); the final resize to the
+encoder's input size and the normalization run on-device inside the model
+(ops/ingest.py). uint8 transfer keeps host→HBM traffic 4× smaller than fp32.
+"""
+
+from __future__ import annotations
+
+import io
+from pathlib import Path
+from typing import Union
+
+import numpy as np
+from PIL import Image
+
+from btia_tpu.data.dicom import read_dicom
+
+_DICOM_SUFFIXES = {".dcm", ".dicom"}
+
+
+def _is_dicom_bytes(data: bytes) -> bool:
+    return (len(data) > 132 and data[128:132] == b"DICM") or data[:4] == b"DICM"
+
+
+def decode_image(src: Union[str, Path, bytes]) -> np.ndarray:
+    """Decode JPEG/PNG/BMP/DICOM to (H, W, 3) uint8 RGB."""
+    if isinstance(src, (str, Path)):
+        path = Path(src)
+        data = path.read_bytes()
+        if path.suffix.lower() in _DICOM_SUFFIXES or _is_dicom_bytes(data):
+            return read_dicom(data).to_rgb_uint8()
+    else:
+        data = src
+        if _is_dicom_bytes(data):
+            return read_dicom(data).to_rgb_uint8()
+    img = Image.open(io.BytesIO(data)).convert("RGB")
+    return np.asarray(img, dtype=np.uint8)
+
+
+def resize_uint8(img: np.ndarray, size: int) -> np.ndarray:
+    """Host bilinear resize to (size, size, 3) uint8 (PIL, no antialias
+    surprises — the quality-critical resize happens on-device)."""
+    if img.shape[0] == size and img.shape[1] == size:
+        return img
+    pil = Image.fromarray(img).resize((size, size), Image.BILINEAR)
+    return np.asarray(pil, dtype=np.uint8)
+
+
+def load_ingest_image(src: Union[str, Path, bytes], ingest_size: int) -> np.ndarray:
+    """decode → fixed-size uint8 RGB, ready for device_put."""
+    return resize_uint8(decode_image(src), ingest_size)

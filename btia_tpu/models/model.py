@@ -1,0 +1,181 @@
+"""BTIAADNet — config-driven full-model assembly [SURVEY §2.1, B:6–11].
+
+Wires {ResNet-50 | ViT-B/16 | ViT-L/336} × {LSTM | BERT} × BTIA fusion ×
+{AD head | MLP classifier}. The on-device ingest transform (resize +
+normalize, ops.ingest) runs INSIDE the model so it jits/fuses with the
+encoder [B:5].
+
+Separate `encode_image` / `answer_questions` methods expose the
+encode-image-once → fan-out-questions split used by batched
+multi-question-per-image inference [B:5, B:11].
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from btia_tpu.configs.config import ModelConfig
+from btia_tpu.core.dtypes import DTypePolicy, default_policy
+from btia_tpu.models.bert import BertQuestionEncoder, BertSpec
+from btia_tpu.models.btia import BTIA
+from btia_tpu.models.heads import ADHead, SimpleClassifier
+from btia_tpu.models.layers import LayerNorm
+from btia_tpu.models.lstm import LSTMQuestionEncoder
+from btia_tpu.models.resnet import resnet50
+from btia_tpu.models.vit import build_vit
+from btia_tpu.ops.ingest import preprocess_images
+
+
+class BTIAADNet(nn.Module):
+    cfg: ModelConfig
+
+    @property
+    def policy(self) -> DTypePolicy:
+        return default_policy(self.cfg.mixed_precision)
+
+    def setup(self):
+        cfg, policy = self.cfg, self.policy
+        if cfg.image_encoder == "resnet50":
+            self.image_encoder = resnet50(policy)
+        else:
+            self.image_encoder = build_vit(cfg.image_encoder, policy, cfg.dropout)
+        if cfg.question_encoder == "lstm":
+            self.question_encoder = LSTMQuestionEncoder(
+                vocab_size=cfg.question_vocab_size,
+                embed_dim=cfg.word_embed_dim,
+                hidden=cfg.lstm_hidden,
+                bidirectional=cfg.lstm_bidirectional,
+                policy=policy,
+                dropout=cfg.dropout,
+            )
+        else:
+            self.question_encoder = BertQuestionEncoder(
+                spec=BertSpec(
+                    vocab_size=cfg.bert_vocab_size,
+                    dim=cfg.bert_hidden,
+                    depth=cfg.bert_layers,
+                    num_heads=cfg.bert_heads,
+                ),
+                policy=policy,
+                dropout=cfg.dropout,
+            )
+        self.img_proj = nn.Dense(
+            cfg.hidden_dim,
+            name="img_proj",
+            dtype=policy.compute_dtype,
+            param_dtype=policy.param_dtype,
+        )
+        self.txt_proj = nn.Dense(
+            cfg.hidden_dim,
+            name="txt_proj",
+            dtype=policy.compute_dtype,
+            param_dtype=policy.param_dtype,
+        )
+        self.img_ln = LayerNorm(policy, name="img_ln")
+        self.txt_ln = LayerNorm(policy, name="txt_ln")
+        self.btia = BTIA(
+            dim=cfg.hidden_dim,
+            num_heads=cfg.num_heads,
+            num_layers=cfg.btia_layers,
+            mlp_ratio=cfg.mlp_ratio,
+            policy=policy,
+            dropout=cfg.dropout,
+        )
+        if cfg.head == "ad":
+            self.head = ADHead(
+                dim=cfg.hidden_dim,
+                num_heads=cfg.num_heads,
+                vocab_size=cfg.answer_vocab_size,
+                num_queries=cfg.num_answer_queries,
+                policy=policy,
+                dropout=cfg.dropout,
+            )
+        else:
+            self.head = SimpleClassifier(
+                dim=cfg.hidden_dim,
+                vocab_size=cfg.answer_vocab_size,
+                policy=policy,
+                dropout=cfg.dropout,
+            )
+
+    # ---- staged API (encode once, fan out questions) ---------------------
+
+    def encode_image(self, images: jax.Array, train: bool = False) -> jax.Array:
+        """images: uint8/float (B, H, W, 3), any size → (B, N_img, hidden)."""
+        s = self.cfg.image_size
+        x = preprocess_images(
+            images, (s, s), out_dtype=self.policy.compute_dtype
+        )
+        feats = self.image_encoder(x, train=train)
+        return self.img_ln(self.img_proj(feats))
+
+    def encode_question(
+        self,
+        question_ids: jax.Array,
+        mask: Optional[jax.Array] = None,
+        train: bool = False,
+    ) -> Tuple[jax.Array, jax.Array]:
+        feats, mask = self.question_encoder(question_ids, mask, train=train)
+        return self.txt_ln(self.txt_proj(feats)), mask
+
+    def fuse_and_answer(
+        self,
+        img_tokens: jax.Array,
+        txt_tokens: jax.Array,
+        txt_mask: jax.Array,
+        train: bool = False,
+    ) -> jax.Array:
+        img_f, txt_f = self.btia(
+            img_tokens, txt_tokens, txt_mask, deterministic=not train
+        )
+        if self.cfg.head == "ad":
+            tokens = jnp.concatenate([img_f, txt_f], axis=1)
+            img_valid = jnp.ones(img_f.shape[:2], bool)
+            token_mask = jnp.concatenate([img_valid, txt_mask], axis=1)
+            return self.head(tokens, token_mask, deterministic=not train)
+        return self.head(img_f, txt_f, txt_mask, deterministic=not train)
+
+    def answer_questions(
+        self,
+        img_tokens: jax.Array,  # (B, N_img, hidden) from encode_image
+        question_ids: jax.Array,  # (B, Q, S)
+        q_mask: Optional[jax.Array] = None,
+        train: bool = False,
+    ) -> jax.Array:
+        """Fan out Q questions per already-encoded image → (B, Q, vocab).
+
+        The image encoder runs ONCE per image; only the (cheap) question
+        encoder + fusion + head replicate per question [B:5, B:11].
+        """
+        B, Q, S = question_ids.shape
+        flat_ids = question_ids.reshape(B * Q, S)
+        flat_mask = q_mask.reshape(B * Q, S) if q_mask is not None else None
+        txt, txt_mask = self.encode_question(flat_ids, flat_mask, train)
+        n_img, d = img_tokens.shape[1], img_tokens.shape[2]
+        img_rep = jnp.broadcast_to(
+            img_tokens[:, None], (B, Q, n_img, d)
+        ).reshape(B * Q, n_img, d)
+        logits = self.fuse_and_answer(img_rep, txt, txt_mask, train)
+        return logits.reshape(B, Q, -1)
+
+    def __call__(
+        self,
+        images: jax.Array,
+        question_ids: jax.Array,
+        q_mask: Optional[jax.Array] = None,
+        train: bool = False,
+    ) -> jax.Array:
+        """The reference forward contract: (image, question) → answer logits
+        [B:5]. images (B,H,W,3); question_ids (B,S) → (B, vocab)."""
+        img = self.encode_image(images, train)
+        txt, txt_mask = self.encode_question(question_ids, q_mask, train)
+        return self.fuse_and_answer(img, txt, txt_mask, train)
+
+
+def build_model(cfg: ModelConfig) -> BTIAADNet:
+    cfg.validate()
+    return BTIAADNet(cfg=cfg)

@@ -1,0 +1,232 @@
+"""Fused multi-head attention for TPU (Pallas) with an XLA reference path.
+
+Covers every attention site in the framework: ViT/BERT self-attention, the
+BTIA cross-attention directions, and the AD answer-head attention
+[B:5 "rewritten as fused Pallas attention kernels"].
+
+Design notes (TPU-first, see /opt/skills/guides/pallas_guide.md):
+  * Sequences in medical VQA are short (questions ≤ 64 tokens, image tokens
+    ≤ 577 for ViT-L/336), so one (batch, head) program holds the whole
+    Q/K/V slice plus the score tile in VMEM — a single-block flash kernel
+    with no HBM materialisation of the (Sq, Sk) score matrix.
+  * Softmax runs in float32 (accum dtype) regardless of the bf16 compute
+    dtype; both matmuls ask for float32 MXU accumulation via
+    preferred_element_type.
+  * Backward pass: custom_vjp that recomputes attention from (q, k, v)
+    with plain XLA ops — rematerialisation trades FLOPs for HBM, which is
+    the right trade at these sequence lengths.
+  * Shapes are padded to the (sublane, lane) tiling grid; padded keys are
+    masked with -inf bias, padded query rows are sliced off on exit.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_NEG_INF = -1e9
+
+_IMPL = "auto"  # 'auto' | 'pallas' | 'xla'
+
+
+def set_attention_impl(impl: str) -> None:
+    global _IMPL
+    if impl not in ("auto", "pallas", "xla"):
+        raise ValueError(f"unknown attention impl {impl!r}")
+    _IMPL = impl
+
+
+def get_attention_impl() -> str:
+    return _IMPL
+
+
+def _on_tpu() -> bool:
+    return jax.default_backend() in ("tpu", "axon")
+
+
+def _resolved_impl() -> str:
+    if _IMPL != "auto":
+        return _IMPL
+    return "pallas" if _on_tpu() else "xla"
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+# ---------------------------------------------------------------------------
+# XLA reference (always correct; used for CPU, for backward, and as oracle)
+# ---------------------------------------------------------------------------
+
+
+def mha_reference(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    kv_mask: Optional[jax.Array] = None,
+) -> jax.Array:
+    """softmax(q kᵀ / sqrt(d)) v.
+
+    q: (B, H, Sq, Dh); k, v: (B, H, Sk, Dh); kv_mask: (B, Sk) bool, True=valid.
+    Returns (B, H, Sq, Dh) in q.dtype; softmax in float32.
+    """
+    scale = 1.0 / (q.shape[-1] ** 0.5)
+    scores = jnp.einsum(
+        "bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32
+    )
+    scores = scores * scale
+    if kv_mask is not None:
+        bias = jnp.where(kv_mask, 0.0, _NEG_INF).astype(jnp.float32)
+        scores = scores + bias[:, None, None, :]
+    probs = jax.nn.softmax(scores, axis=-1)
+    out = jnp.einsum(
+        "bhqk,bhkd->bhqd",
+        probs.astype(v.dtype),
+        v,
+        preferred_element_type=jnp.float32,
+    )
+    return out.astype(q.dtype)
+
+
+# ---------------------------------------------------------------------------
+# Pallas kernel
+# ---------------------------------------------------------------------------
+
+
+def _attn_block(q, k, v, bias_row, scale, accum_dtype=jnp.float32):
+    """Shared attention math on VMEM-resident blocks.
+
+    q: (Sq, D), k/v: (Sk, D), bias_row: (1, Sk) additive f32. Used by both
+    this kernel and the bidirectional kernel in ops/bicross.py.
+    """
+    s = jax.lax.dot_general(
+        q,
+        k,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=accum_dtype,
+    )
+    s = s * scale + bias_row
+    m = jnp.max(s, axis=-1, keepdims=True)
+    e = jnp.exp(s - m)
+    denom = jnp.sum(e, axis=-1, keepdims=True)
+    p = (e / denom).astype(v.dtype)
+    return jnp.dot(p, v, preferred_element_type=accum_dtype)
+
+
+def _mha_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, *, scale):
+    o_ref[0, 0] = _attn_block(
+        q_ref[0, 0], k_ref[0, 0], v_ref[0, 0], bias_ref[0], scale
+    ).astype(o_ref.dtype)
+
+
+def _mha_pallas(q, k, v, kv_mask, interpret: bool) -> jax.Array:
+    B, H, Sq, D = q.shape
+    Sk = k.shape[2]
+    scale = 1.0 / (D**0.5)
+
+    # Pad to the TPU tiling grid: lanes (last dim) to 128, sublanes to 8.
+    Dp = _round_up(D, 128)
+    Sqp = _round_up(Sq, 8)
+    Skp = _round_up(Sk, 128)  # Sk is the lane dim of the score tile
+
+    qp = jnp.pad(q, ((0, 0), (0, 0), (0, Sqp - Sq), (0, Dp - D)))
+    kp = jnp.pad(k, ((0, 0), (0, 0), (0, Skp - Sk), (0, Dp - D)))
+    vp = jnp.pad(v, ((0, 0), (0, 0), (0, Skp - Sk), (0, Dp - D)))
+
+    if kv_mask is None:
+        kv_mask = jnp.ones((B, Sk), dtype=bool)
+    maskp = jnp.pad(kv_mask, ((0, 0), (0, Skp - Sk)))
+    bias = jnp.where(maskp, 0.0, _NEG_INF).astype(jnp.float32)[:, None, :]
+
+    grid = (B, H)
+    out = pl.pallas_call(
+        functools.partial(_mha_kernel, scale=scale),
+        out_shape=jax.ShapeDtypeStruct((B, H, Sqp, Dp), q.dtype),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(
+                (1, 1, Sqp, Dp), lambda b, h: (b, h, 0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (1, 1, Skp, Dp), lambda b, h: (b, h, 0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (1, 1, Skp, Dp), lambda b, h: (b, h, 0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (1, 1, Skp), lambda b, h: (b, 0, 0), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, 1, Sqp, Dp), lambda b, h: (b, h, 0, 0), memory_space=pltpu.VMEM
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * B * H * Sqp * Skp * Dp,
+            bytes_accessed=(
+                qp.size + kp.size + vp.size + B * H * Sqp * Dp
+            )
+            * qp.dtype.itemsize,
+            transcendentals=B * H * Sqp * Skp,
+        ),
+        interpret=interpret,
+    )(qp, kp, vp, bias)
+    return out[:, :, :Sq, :D]
+
+
+# ---------------------------------------------------------------------------
+# Differentiable public op
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
+def _mha(q, k, v, kv_mask, use_pallas: bool, interpret: bool):
+    if use_pallas:
+        return _mha_pallas(q, k, v, kv_mask, interpret)
+    return mha_reference(q, k, v, kv_mask)
+
+
+def _mha_fwd(q, k, v, kv_mask, use_pallas, interpret):
+    out = _mha(q, k, v, kv_mask, use_pallas, interpret)
+    return out, (q, k, v, kv_mask)
+
+
+def _mha_bwd(use_pallas, interpret, res, g):
+    q, k, v, kv_mask = res
+    scale = 1.0 / (q.shape[-1] ** 0.5)
+    s = jnp.einsum("bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32)
+    s = s * scale
+    if kv_mask is not None:
+        s = s + jnp.where(kv_mask, 0.0, _NEG_INF).astype(jnp.float32)[:, None, None, :]
+    p = jax.nn.softmax(s, axis=-1)
+    g32 = g.astype(jnp.float32)
+    dv = jnp.einsum("bhqk,bhqd->bhkd", p, g32)
+    dp = jnp.einsum("bhqd,bhkd->bhqk", g32, v.astype(jnp.float32))
+    ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
+    dq = jnp.einsum("bhqk,bhkd->bhqd", ds, k.astype(jnp.float32)) * scale
+    dk = jnp.einsum("bhqk,bhqd->bhkd", ds, q.astype(jnp.float32)) * scale
+    return dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype), None
+
+
+_mha.defvjp(_mha_fwd, _mha_bwd)
+
+
+def mha(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    kv_mask: Optional[jax.Array] = None,
+    impl: Optional[str] = None,
+    interpret: bool = False,
+) -> jax.Array:
+    """Multi-head attention, fused on TPU.
+
+    q: (B, H, Sq, Dh); k, v: (B, H, Sk, Dh); kv_mask: (B, Sk) True=valid.
+    impl: None → module default ('pallas' on TPU else 'xla').
+    """
+    impl = impl or _resolved_impl()
+    return _mha(q, k, v, kv_mask, impl == "pallas", interpret)

@@ -1,0 +1,86 @@
+"""Rule-based parameter/batch shardings (pjit-style, no per-module plumbing).
+
+Instead of annotating every Flax module with logical axes, we map parameter
+*path names* to PartitionSpecs with regex rules. This keeps the model code
+clean and makes the TP layout auditable in one place.
+
+TP layout (Megatron-style column→row pairing, all-reduce once per block):
+  - attention q/k/v kernels: shard output (head) dim over 'model'
+  - attention out kernel:    shard input  (head) dim over 'model'
+  - MLP fc1 kernel:          shard output (hidden) dim
+  - MLP fc2 kernel:          shard input  (hidden) dim
+Everything else (LayerNorms, embeddings, conv stacks, small heads) is
+replicated — at these model sizes replication is free and avoids collectives.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Any
+
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from btia_tpu.parallel.mesh import DATA_AXIS, MODEL_AXIS
+
+# (path regex, spec per rank) — first match wins. Specs are keyed by the
+# parameter's ndim so biases pair correctly with their kernels.
+_TP_RULES: list[tuple[str, dict[int, P]]] = [
+    # q/k/v/qkv projection kernels + biases: shard the head dim (last).
+    (
+        r"(q_proj|k_proj|v_proj|qkv)/(kernel|bias)$",
+        {2: P(None, MODEL_AXIS), 1: P(MODEL_AXIS)},
+    ),
+    # attention output projection: shard the input (head) dim; bias replicated.
+    (r"(o_proj|out_proj)/kernel$", {2: P(MODEL_AXIS, None)}),
+    # transformer MLP: fc1 column-parallel, fc2 row-parallel.
+    (r"fc1/(kernel|bias)$", {2: P(None, MODEL_AXIS), 1: P(MODEL_AXIS)}),
+    (r"fc2/kernel$", {2: P(MODEL_AXIS, None)}),
+]
+
+
+def _spec_for(path: str, ndim: int, model_parallel: bool) -> P:
+    if model_parallel:
+        for pattern, by_rank in _TP_RULES:
+            if re.search(pattern, path) and ndim in by_rank:
+                return by_rank[ndim]
+    return P()  # replicated
+
+
+def _path_str(key_path) -> str:
+    parts = []
+    for k in key_path:
+        if hasattr(k, "key"):
+            parts.append(str(k.key))
+        elif hasattr(k, "idx"):
+            parts.append(str(k.idx))
+        else:
+            parts.append(str(k))
+    return "/".join(parts)
+
+
+def param_shardings(
+    params: Any, mesh: Mesh, model_parallel: bool = False
+) -> Any:
+    """NamedSharding pytree matching ``params``."""
+
+    def leaf(key_path, x):
+        spec = _spec_for(_path_str(key_path), getattr(x, "ndim", 0), model_parallel)
+        return NamedSharding(mesh, spec)
+
+    return jax.tree_util.tree_map_with_path(leaf, params)
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Leading (batch) dim over 'data'; model-dim replicated."""
+    return NamedSharding(mesh, P(DATA_AXIS))
+
+
+def shard_batch(batch: Any, mesh: Mesh) -> Any:
+    """Device_put a host batch with the batch dim sharded over 'data'."""
+    s = batch_sharding(mesh)
+    return jax.tree.map(lambda x: jax.device_put(x, s), batch)
