@@ -13,3 +13,5 @@ Public API (the replication contract, [B:5]):
 __version__ = "0.1.0"
 
 from btia_tpu.configs import get_config, list_configs  # noqa: F401
+from btia_tpu.models.model import BTIAADNet, build_model  # noqa: F401
+from btia_tpu.infer.predict import Predictor, predict  # noqa: F401

@@ -1,0 +1,99 @@
+"""Synthetic VQA fixtures in the real datasets' on-disk formats
+[SURVEY §4.2 "tiny synthetic VQA-RAD/SLAKE-format fixtures"].
+
+Generates deterministic JPEG + DICOM images and QA annotations so loaders,
+vocab builders, training, and the DICOM path are all exercised without any
+real (and license-encumbered) medical data on the machine.
+"""
+
+from __future__ import annotations
+
+import json
+import tempfile
+from pathlib import Path
+from typing import Dict, List, Optional
+
+import numpy as np
+from PIL import Image
+
+from btia_tpu.data.datasets import VQASample
+from btia_tpu.data.dicom import write_dicom
+
+_ORGANS = ["lung", "heart", "liver", "kidney", "brain"]
+_MODALITIES = ["xray", "ct", "mri"]
+_PLANES = ["axial", "coronal", "sagittal"]
+
+
+def _make_image(rng: np.random.RandomState, size: int = 128) -> np.ndarray:
+    """Gradient + blobs; grayscale-ish like radiology."""
+    y, x = np.mgrid[0:size, 0:size].astype(np.float32) / size
+    img = 60 + 80 * x + 40 * y
+    for _ in range(rng.randint(2, 5)):
+        cx, cy = rng.rand(2) * size
+        r = 8 + rng.rand() * 24
+        d2 = (np.mgrid[0:size, 0:size][1] - cx) ** 2 + (
+            np.mgrid[0:size, 0:size][0] - cy
+        ) ** 2
+        img += 70 * np.exp(-d2 / (2 * r * r))
+    g = np.clip(img, 0, 255).astype(np.uint8)
+    return np.repeat(g[:, :, None], 3, axis=2)
+
+
+def generate_synthetic_dataset(
+    root: Optional[Path] = None,
+    num_images: int = 6,
+    qa_per_image: int = 4,
+    seed: int = 0,
+) -> Dict[str, List[VQASample]]:
+    """Write a VQA-RAD-format corpus (JPEGs + 1 DICOM + JSON) and load it."""
+    if root is None:
+        root = Path(tempfile.gettempdir()) / f"btia_synth_{seed}_{num_images}"
+    root = Path(root)
+    img_dir = root / "images"
+    img_dir.mkdir(parents=True, exist_ok=True)
+    rng = np.random.RandomState(seed)
+
+    items = []
+    for i in range(num_images):
+        arr = _make_image(rng)
+        if i == 0:
+            # One DICOM image exercises the DICOM ingest path [B:11].
+            name = f"synpic{i}.dcm"
+            px = (arr[:, :, 0].astype(np.uint16) * 16)
+            write_dicom(img_dir / name, px, window=(2048.0, 4096.0))
+        else:
+            name = f"synpic{i}.jpg"
+            Image.fromarray(arr).save(img_dir / name, quality=92)
+
+        organ = _ORGANS[i % len(_ORGANS)]
+        modality = _MODALITIES[i % len(_MODALITIES)]
+        plane = _PLANES[i % len(_PLANES)]
+        qa = [
+            (f"is the {organ} normal", "yes" if i % 2 == 0 else "no", "CLOSED"),
+            (f"what organ is shown in this image", organ, "OPEN"),
+            (f"what imaging modality was used", modality, "OPEN"),
+            (f"is this an {plane} view", "yes" if i % 3 == 0 else "no", "CLOSED"),
+        ][:qa_per_image]
+        for j, (q, a, at) in enumerate(qa):
+            # ~1/3 of items become the test split, marked VQA-RAD-style.
+            is_test = (i * qa_per_image + j) % 3 == 2
+            items.append(
+                {
+                    "qid": i * qa_per_image + j,
+                    "image_name": name,
+                    "question": q,
+                    "answer": a,
+                    "answer_type": at,
+                    "phrase_type": "test_freeform" if is_test else "freeform",
+                }
+            )
+
+    (root / "vqa_rad.json").write_text(json.dumps(items, indent=1))
+
+    from btia_tpu.data.datasets import load_vqa_rad
+
+    return {
+        "train": load_vqa_rad(root, "train"),
+        "val": load_vqa_rad(root, "test"),
+        "test": load_vqa_rad(root, "test"),
+    }

@@ -1,0 +1,149 @@
+"""Public inference API — the replication contract [B:5, SURVEY §3.3]:
+
+    predict(image, question) → answer logits
+
+plus the batched multi-question-per-image variant (encode the image ONCE,
+fan the questions out through BTIA + the AD head) [B:5, B:11].
+
+Compiled programs are cached per (batch, question-fanout) bucket; question
+counts are padded up to the next bucket so a serving process compiles a
+handful of programs, not one per request shape.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+from typing import Dict, List, Optional, Sequence, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from btia_tpu.configs.config import Config
+from btia_tpu.data.image import load_ingest_image
+from btia_tpu.data.vocab import AnswerVocab, WordVocab
+from btia_tpu.data.wordpiece import WordPieceTokenizer
+from btia_tpu.models.model import BTIAADNet, build_model
+
+ImageLike = Union[str, Path, bytes, np.ndarray]
+
+
+def _bucket(n: int, buckets: Sequence[int] = (1, 2, 4, 8, 16, 32, 64)) -> int:
+    for b in buckets:
+        if n <= b:
+            return b
+    return -(-n // buckets[-1]) * buckets[-1]
+
+
+class Predictor:
+    def __init__(
+        self,
+        model: BTIAADNet,
+        variables: dict,
+        text_encoder,
+        answer_vocab: AnswerVocab,
+        cfg: Config,
+    ):
+        self.model = model
+        self.variables = variables
+        self.text_encoder = text_encoder
+        self.answer_vocab = answer_vocab
+        self.cfg = cfg
+        self.ingest_size = max(256, cfg.model.image_size)
+        self._forward_cache: Dict[Tuple[int, int], jax.stages.Wrapped] = {}
+        self._encode = jax.jit(
+            lambda v, imgs: self.model.apply(v, imgs, method="encode_image")
+        )
+
+    # -- plumbing ---------------------------------------------------------
+
+    @classmethod
+    def from_checkpoint(
+        cls, workdir: str | Path, best: bool = True
+    ) -> "Predictor":
+        """Load config + vocabs + best/latest weights from a Trainer workdir."""
+        from btia_tpu.parallel.mesh import make_mesh, MeshConfig
+        from btia_tpu.train.checkpoint import Checkpointer
+        from btia_tpu.train.steps import create_state
+
+        workdir = Path(workdir)
+        ckpt = Checkpointer(workdir / "checkpoints")
+        cfg = ckpt.load_config()
+        model = build_model(cfg.model)
+        mesh = make_mesh(MeshConfig(data=1, model=1))
+        state = create_state(model, cfg, mesh, steps_per_epoch=1)
+        state = ckpt.restore(state, best=best)
+
+        vocab_dir = workdir / "vocabs"
+        answer_vocab = AnswerVocab.load(vocab_dir / "answer_vocab.json")
+        if (vocab_dir / "question_vocab.json").exists():
+            text_encoder = WordVocab.load(vocab_dir / "question_vocab.json")
+        else:
+            text_encoder = WordPieceTokenizer.from_vocab_file(
+                vocab_dir / "wordpiece_vocab.txt"
+            )
+        variables = {"params": state.params}
+        if state.batch_stats:
+            variables["batch_stats"] = state.batch_stats
+        return cls(model, variables, text_encoder, answer_vocab, cfg)
+
+    def _prep_image(self, image: ImageLike) -> np.ndarray:
+        if isinstance(image, np.ndarray):
+            if image.ndim == 2:
+                image = np.repeat(image[:, :, None], 3, axis=2)
+            if image.shape[:2] != (self.ingest_size, self.ingest_size):
+                from btia_tpu.data.image import resize_uint8
+
+                image = resize_uint8(image.astype(np.uint8), self.ingest_size)
+            return image.astype(np.uint8)
+        return load_ingest_image(image, self.ingest_size)
+
+    def _tokenize(self, questions: Sequence[str]) -> np.ndarray:
+        L = self.cfg.model.max_question_len
+        return np.asarray(
+            [self.text_encoder.encode(q, L) for q in questions], np.int32
+        )
+
+    def _fanout_forward(self, B: int, Q: int):
+        key = (B, Q)
+        if key not in self._forward_cache:
+
+            def fwd(variables, images, qids):
+                img_tokens = self.model.apply(
+                    variables, images, method="encode_image"
+                )
+                return self.model.apply(
+                    variables, img_tokens, qids, method="answer_questions"
+                )
+
+            self._forward_cache[key] = jax.jit(fwd)
+        return self._forward_cache[key]
+
+    # -- public API [B:5] --------------------------------------------------
+
+    def predict(self, image: ImageLike, question: str) -> np.ndarray:
+        """(image, question) → answer logits, shape (vocab,)."""
+        return self.predict_batch(image, [question])[0]
+
+    def predict_batch(
+        self, image: ImageLike, questions: Sequence[str]
+    ) -> np.ndarray:
+        """Many questions, ONE image encode [B:5]. → (len(questions), vocab)."""
+        n = len(questions)
+        Q = _bucket(n)
+        qids = np.zeros((1, Q, self.cfg.model.max_question_len), np.int32)
+        qids[0, :n] = self._tokenize(questions)
+        images = self._prep_image(image)[None]
+        logits = self._fanout_forward(1, Q)(self.variables, images, qids)
+        return np.asarray(jax.device_get(logits))[0, :n]
+
+    def predict_answer(self, image: ImageLike, question: str) -> str:
+        logits = self.predict(image, question)
+        return self.answer_vocab.decode(int(np.argmax(logits)))
+
+
+def predict(
+    image: ImageLike, question: str, workdir: str | Path, best: bool = True
+) -> np.ndarray:
+    """One-shot convenience wrapper over Predictor [B:5]."""
+    return Predictor.from_checkpoint(workdir, best=best).predict(image, question)

@@ -1,0 +1,122 @@
+"""Streaming many-questions-per-image inference [B:11, SURVEY §3.5].
+
+Host threads decode DICOM/JPEG bytes into a bounded queue; the device loop
+consumes fixed-shape (B images × Q questions) batches through ONE jit'd
+program: on-device resize/normalize → image encoder (TP-shardable) → BTIA →
+AD head. JAX's async dispatch overlaps the host decode of batch N+1 with
+device compute of batch N; the throughput target is ≥5k image–question
+pairs/sec/chip [B:5].
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+import time
+from typing import Callable, Iterable, Iterator, List, Optional, Sequence, Tuple
+
+import jax
+import numpy as np
+
+from btia_tpu.data.image import load_ingest_image
+from btia_tpu.infer.predict import ImageLike, Predictor
+
+
+class StreamingServer:
+    def __init__(
+        self,
+        predictor: Predictor,
+        image_batch: int = 8,
+        questions_per_image: int = 8,
+        decode_threads: int = 2,
+        queue_depth: int = 4,
+    ):
+        self.p = predictor
+        self.B = image_batch
+        self.Q = questions_per_image
+        self.decode_threads = decode_threads
+        self.queue_depth = queue_depth
+        self.pairs_processed = 0
+        self.wall_seconds = 0.0
+        self._fwd = predictor._fanout_forward(self.B, self.Q)
+
+    def _decode_worker(
+        self,
+        src: Iterator[Tuple[ImageLike, Sequence[str]]],
+        out_q: "queue.Queue",
+        lock: threading.Lock,
+    ) -> None:
+        while True:
+            with lock:
+                try:
+                    item = next(src)
+                except StopIteration:
+                    break
+            image, questions = item
+            img = self.p._prep_image(image)
+            qids = np.zeros((self.Q, self.p.cfg.model.max_question_len), np.int32)
+            n = min(len(questions), self.Q)
+            qids[:n] = self.p._tokenize(list(questions)[:n])
+            out_q.put((img, qids, n))
+        out_q.put(None)
+
+    def serve(
+        self,
+        requests: Iterable[Tuple[ImageLike, Sequence[str]]],
+    ) -> Iterator[Tuple[np.ndarray, int]]:
+        """Yields (logits (Q, vocab), n_valid_questions) per image, in order
+        of completion. Pads the tail to keep the compiled shape static."""
+        src = iter(requests)
+        q: "queue.Queue" = queue.Queue(maxsize=self.queue_depth * self.B)
+        lock = threading.Lock()
+        workers = [
+            threading.Thread(
+                target=self._decode_worker, args=(src, q, lock), daemon=True
+            )
+            for _ in range(self.decode_threads)
+        ]
+        for w in workers:
+            w.start()
+
+        done_workers = 0
+        pending: List[Tuple[np.ndarray, np.ndarray, int]] = []
+        in_flight: List[Tuple[jax.Array, List[int]]] = []
+        t0 = time.perf_counter()
+
+        def dispatch(items):
+            imgs = np.stack([it[0] for it in items])
+            qids = np.stack([it[1] for it in items])
+            ns = [it[2] for it in items]
+            logits = self._fwd(self.p.variables, imgs, qids)
+            in_flight.append((logits, ns))
+
+        def drain(block_all: bool = False):
+            # Keep ≤2 device batches in flight (double buffering).
+            while in_flight and (block_all or len(in_flight) >= 2):
+                logits, ns = in_flight.pop(0)
+                host = np.asarray(jax.device_get(logits))
+                for i, n in enumerate(ns):
+                    self.pairs_processed += n
+                    yield host[i], n
+
+        while done_workers < self.decode_threads:
+            item = q.get()
+            if item is None:
+                done_workers += 1
+                continue
+            pending.append(item)
+            if len(pending) == self.B:
+                dispatch(pending)
+                pending = []
+                yield from drain()
+        if pending:
+            pad = pending[-1]
+            while len(pending) < self.B:
+                pending.append((pad[0], pad[1], 0))
+            dispatch(pending)
+        yield from drain(block_all=True)
+        self.wall_seconds += time.perf_counter() - t0
+
+    @property
+    def pairs_per_second(self) -> float:
+        return self.pairs_processed / max(self.wall_seconds, 1e-9)

@@ -60,8 +60,16 @@ def resize_bilinear(images: jax.Array, out_hw: Tuple[int, int]) -> jax.Array:
     x = images.astype(jnp.float32)
     mh = jnp.asarray(_resize_matrix(H, h))
     mw = jnp.asarray(_resize_matrix(W, w))
-    x = jnp.einsum("hH,bHwc->bhwc", mh, x, preferred_element_type=jnp.float32)
-    x = jnp.einsum("wW,bhWc->bhwc", mw, x, preferred_element_type=jnp.float32)
+    # precision=HIGHEST: TPU matmuls default to bf16 passes, which costs
+    # ~0.4% pixel error and breaks logit-level parity [SURVEY §7.3]; these
+    # matrices are tiny so full-fp32 passes are free.
+    hi = jax.lax.Precision.HIGHEST
+    x = jnp.einsum(
+        "hH,bHwc->bhwc", mh, x, precision=hi, preferred_element_type=jnp.float32
+    )
+    x = jnp.einsum(
+        "wW,bhWc->bhwc", mw, x, precision=hi, preferred_element_type=jnp.float32
+    )
     return x
 
 

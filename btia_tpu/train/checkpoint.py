@@ -1,0 +1,98 @@
+"""Orbax checkpointing: params + opt state + step + config + vocabs
+[SURVEY §5.4]. The reference does torch.save(state_dict) with best-on-val
+selection; here CheckpointManager keeps the latest K plus a 'best' pointer,
+and the config + vocabularies are serialized next to the weights so a
+checkpoint is self-describing (answer-id stability is a parity requirement).
+"""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+from typing import Any, Optional, Tuple
+
+import jax
+import orbax.checkpoint as ocp
+
+from btia_tpu.configs.config import Config
+from btia_tpu.train.steps import TrainState
+
+
+class Checkpointer:
+    def __init__(self, directory: str | Path, max_to_keep: int = 3):
+        self.directory = Path(directory).absolute()
+        self.directory.mkdir(parents=True, exist_ok=True)
+        self.manager = ocp.CheckpointManager(
+            self.directory,
+            options=ocp.CheckpointManagerOptions(
+                max_to_keep=max_to_keep, create=True
+            ),
+        )
+        self._best_metric: Optional[float] = self._read_best()[1]
+
+    # -- state ------------------------------------------------------------
+
+    @staticmethod
+    def _savable(state: TrainState) -> dict:
+        return {
+            "step": state.step,
+            "params": state.params,
+            "batch_stats": state.batch_stats,
+            "opt_state": state.opt_state,
+            "rng": state.rng,
+        }
+
+    def save(
+        self, state: TrainState, metric: Optional[float] = None
+    ) -> None:
+        step = int(jax.device_get(state.step))
+        self.manager.save(step, args=ocp.args.StandardSave(self._savable(state)))
+        if metric is not None and (
+            self._best_metric is None or metric > self._best_metric
+        ):
+            self._best_metric = metric
+            (self.directory / "best.json").write_text(
+                json.dumps({"step": step, "metric": metric})
+            )
+        self.manager.wait_until_finished()
+
+    def _read_best(self) -> Tuple[Optional[int], Optional[float]]:
+        f = self.directory / "best.json"
+        if f.exists():
+            d = json.loads(f.read_text())
+            return int(d["step"]), float(d["metric"])
+        return None, None
+
+    def latest_step(self) -> Optional[int]:
+        return self.manager.latest_step()
+
+    def restore(
+        self, state_template: TrainState, step: Optional[int] = None,
+        best: bool = False,
+    ) -> TrainState:
+        if best:
+            step = self._read_best()[0]
+        if step is None:
+            step = self.manager.latest_step()
+        if step is None:
+            raise FileNotFoundError(f"no checkpoint in {self.directory}")
+        target = self._savable(state_template)
+        abstract = jax.tree.map(ocp.utils.to_shape_dtype_struct, target)
+        restored = self.manager.restore(
+            step, args=ocp.args.StandardRestore(abstract)
+        )
+        return state_template.replace(
+            step=restored["step"],
+            params=restored["params"],
+            batch_stats=restored["batch_stats"],
+            opt_state=restored["opt_state"],
+            rng=restored["rng"],
+        )
+
+    # -- sidecar files ----------------------------------------------------
+
+    def save_config(self, cfg: Config) -> None:
+        (self.directory / "config.json").write_text(cfg.to_json())
+
+    def load_config(self) -> Config:
+        return Config.from_json((self.directory / "config.json").read_text())

@@ -1,0 +1,130 @@
+"""Training/eval harness — the L4 layer [SURVEY §1.1, §3.1, §3.2].
+
+Epoch loop over the prefetching host pipeline, one jit'd program per step,
+per-epoch evaluation with the reference metric definitions, best-on-val
+checkpointing, and resume-from-latest.
+"""
+
+from __future__ import annotations
+
+import time
+from pathlib import Path
+from typing import Dict, List, Optional
+
+import jax
+import numpy as np
+
+from btia_tpu.configs.config import Config
+from btia_tpu.data.builder import DataModule, build_data
+from btia_tpu.data.pipeline import Batch
+from btia_tpu.models.model import BTIAADNet, build_model
+from btia_tpu.parallel.mesh import MeshConfig, make_mesh
+from btia_tpu.parallel.sharding import shard_batch
+from btia_tpu.train.checkpoint import Checkpointer
+from btia_tpu.train.metrics import EvalAccumulator
+from btia_tpu.train.steps import (
+    TrainState,
+    create_state,
+    make_eval_step,
+    make_train_step,
+)
+from btia_tpu.utils.logging import MetricLogger
+
+
+def batch_to_device(batch: Batch, mesh) -> dict:
+    arrays = {
+        "images": batch.images,
+        "question_ids": batch.question_ids,
+        "answer_ids": batch.answer_ids,
+        "valid": batch.valid,
+    }
+    return shard_batch(arrays, mesh)
+
+
+class Trainer:
+    def __init__(
+        self,
+        cfg: Config,
+        workdir: str | Path = "runs/default",
+        data: Optional[DataModule] = None,
+    ):
+        self.cfg = cfg
+        self.workdir = Path(workdir)
+        self.workdir.mkdir(parents=True, exist_ok=True)
+        self.data = data or build_data(cfg)
+        self.model: BTIAADNet = build_model(cfg.model)
+        self.mesh = make_mesh(MeshConfig(cfg.mesh.data, cfg.mesh.model))
+        self.state: TrainState = create_state(
+            self.model, cfg, self.mesh, steps_per_epoch=self.data.steps("train")
+        )
+        self.train_step = make_train_step(self.model, cfg, self.mesh)
+        self.eval_step = make_eval_step(self.model, cfg, self.mesh)
+        self.ckpt = Checkpointer(
+            self.workdir / cfg.train.checkpoint_dir, cfg.train.keep_checkpoints
+        )
+        self.ckpt.save_config(cfg)
+        self.data.save_vocabs(self.workdir / "vocabs")
+        self.logger = MetricLogger(self.workdir / "metrics.jsonl")
+
+    def resume_if_available(self) -> bool:
+        if self.ckpt.latest_step() is not None:
+            self.state = self.ckpt.restore(self.state)
+            return True
+        return False
+
+    def fit(self, epochs: Optional[int] = None) -> List[Dict[str, float]]:
+        cfg = self.cfg
+        history: List[Dict[str, float]] = []
+        epochs = epochs or cfg.train.epochs
+        for epoch in range(epochs):
+            t0 = time.time()
+            losses, accs, n_items = [], [], 0
+            for i, batch in enumerate(
+                self.data.iterator("train", seed=cfg.train.seed + epoch)
+            ):
+                device_batch = batch_to_device(batch, self.mesh)
+                self.state, m = self.train_step(self.state, device_batch)
+                n_items += len(batch)
+                if (i + 1) % cfg.train.log_every == 0 or i == 0:
+                    m = jax.device_get(m)
+                    losses.append(float(m["loss"]))
+                    accs.append(float(m["accuracy"]))
+                    self.logger.log(
+                        step=int(jax.device_get(self.state.step)),
+                        split="train",
+                        loss=float(m["loss"]),
+                        accuracy=float(m["accuracy"]),
+                        grad_norm=float(m["grad_norm"]),
+                    )
+            wall = time.time() - t0
+            eval_metrics = self.evaluate("val")
+            row = {
+                "epoch": epoch,
+                "train_loss": float(np.mean(losses)) if losses else float("nan"),
+                "train_accuracy": float(np.mean(accs)) if accs else float("nan"),
+                "examples_per_sec": n_items / max(wall, 1e-6),
+                **{f"val_{k}": v for k, v in eval_metrics.items()},
+            }
+            history.append(row)
+            self.logger.log(split="epoch", **row)
+            self.ckpt.save(self.state, metric=eval_metrics.get("accuracy"))
+        return history
+
+    def evaluate(self, split: str = "test") -> Dict[str, float]:
+        acc = EvalAccumulator()
+        vocab = self.data.answer_vocab
+        for batch in self.data.iterator(split):
+            device_batch = batch_to_device(batch, self.mesh)
+            out = jax.device_get(self.eval_step(self.state, device_batch))
+            preds = out["preds"]
+            acc.add_batch(
+                correct=np.asarray(out["correct"]),
+                valid=batch.valid,
+                answer_types=batch.answer_types,
+                categories=batch.categories,
+                pred_answers=[vocab.decode(int(p)) for p in preds],
+                ref_answers=[
+                    vocab.decode(int(a)) for a in batch.answer_ids
+                ],
+            )
+        return acc.summary()

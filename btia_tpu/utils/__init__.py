@@ -1,0 +1,1 @@
+from btia_tpu.utils.logging import MetricLogger  # noqa: F401

@@ -1,0 +1,164 @@
+"""Model-stack unit tests: shapes, dtypes, finiteness, staged API
+[SURVEY §4.2 'Unit' tier]."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from btia_tpu.configs.config import ModelConfig
+from btia_tpu.core.dtypes import FP32_POLICY
+from btia_tpu.models.bert import BertQuestionEncoder, BertSpec
+from btia_tpu.models.btia import BTIA
+from btia_tpu.models.heads import ADHead, SimpleClassifier
+from btia_tpu.models.lstm import LSTMQuestionEncoder
+from btia_tpu.models.model import build_model
+from btia_tpu.models.vit import ViTSpec, ViT
+
+
+class TestEncoders:
+    def test_lstm_shapes_and_mask(self, rng):
+        enc = LSTMQuestionEncoder(
+            vocab_size=50, embed_dim=16, hidden=24, policy=FP32_POLICY
+        )
+        ids = jnp.asarray(rng.randint(1, 50, (3, 10)), jnp.int32)
+        ids = ids.at[:, 6:].set(0)
+        vars_ = enc.init(jax.random.PRNGKey(0), ids)
+        out, mask = enc.apply(vars_, ids)
+        assert out.shape == (3, 10, 48)  # bidirectional concat
+        assert bool((np.asarray(mask[:, 6:]) == False).all())  # noqa: E712
+
+    def test_lstm_padding_invariance(self, rng):
+        """Extra padding must not change the valid-token outputs."""
+        enc = LSTMQuestionEncoder(
+            vocab_size=50, embed_dim=8, hidden=12, policy=FP32_POLICY
+        )
+        short = jnp.asarray(rng.randint(1, 50, (1, 5)), jnp.int32)
+        longer = jnp.concatenate([short, jnp.zeros((1, 4), jnp.int32)], axis=1)
+        vars_ = enc.init(jax.random.PRNGKey(0), longer)
+        out_s, _ = enc.apply(vars_, short)
+        out_l, _ = enc.apply(vars_, longer)
+        np.testing.assert_allclose(
+            np.asarray(out_s), np.asarray(out_l[:, :5]), atol=1e-5
+        )
+
+    def test_bert_shapes(self, rng):
+        spec = BertSpec(vocab_size=100, dim=32, depth=2, num_heads=4, mlp_dim=64)
+        enc = BertQuestionEncoder(spec=spec, policy=FP32_POLICY)
+        ids = jnp.asarray(rng.randint(1, 100, (2, 12)), jnp.int32)
+        vars_ = enc.init(jax.random.PRNGKey(0), ids)
+        out, mask = enc.apply(vars_, ids)
+        assert out.shape == (2, 12, 32)
+        assert bool(jnp.isfinite(out).all())
+
+    def test_vit_shapes(self, rng):
+        spec = ViTSpec(image_size=32, patch_size=8, dim=48, depth=2, num_heads=4)
+        vit = ViT(spec=spec, policy=FP32_POLICY)
+        imgs = jnp.asarray(rng.rand(2, 32, 32, 3), jnp.float32)
+        vars_ = vit.init(jax.random.PRNGKey(0), imgs)
+        out = vit.apply(vars_, imgs)
+        assert out.shape == (2, 17, 48)  # 16 patches + CLS
+
+
+class TestFusionAndHeads:
+    def test_btia_shapes(self, rng):
+        btia = BTIA(dim=32, num_heads=4, num_layers=2, policy=FP32_POLICY)
+        img = jnp.asarray(rng.randn(2, 9, 32), jnp.float32)
+        txt = jnp.asarray(rng.randn(2, 6, 32), jnp.float32)
+        mask = jnp.asarray(rng.rand(2, 6) > 0.3)
+        vars_ = btia.init(jax.random.PRNGKey(0), img, txt, mask)
+        oi, ot = btia.apply(vars_, img, txt, mask)
+        assert oi.shape == img.shape and ot.shape == txt.shape
+
+    def test_ad_head_per_answer(self, rng):
+        head = ADHead(dim=32, num_heads=4, vocab_size=20, policy=FP32_POLICY)
+        toks = jnp.asarray(rng.randn(2, 12, 32), jnp.float32)
+        mask = jnp.ones((2, 12), bool)
+        vars_ = head.init(jax.random.PRNGKey(0), toks, mask)
+        logits = head.apply(vars_, toks, mask)
+        assert logits.shape == (2, 20)
+        assert logits.dtype == jnp.float32
+
+    def test_ad_head_factorized(self, rng):
+        head = ADHead(
+            dim=32, num_heads=4, vocab_size=100, num_queries=8, policy=FP32_POLICY
+        )
+        toks = jnp.asarray(rng.randn(2, 12, 32), jnp.float32)
+        vars_ = head.init(jax.random.PRNGKey(0), toks, None)
+        logits = head.apply(vars_, toks, None)
+        assert logits.shape == (2, 100)
+
+    def test_simple_classifier(self, rng):
+        head = SimpleClassifier(dim=32, vocab_size=10, policy=FP32_POLICY)
+        img = jnp.asarray(rng.randn(2, 9, 32), jnp.float32)
+        txt = jnp.asarray(rng.randn(2, 6, 32), jnp.float32)
+        vars_ = head.init(jax.random.PRNGKey(0), img, txt, None)
+        assert head.apply(vars_, img, txt, None).shape == (2, 10)
+
+
+class TestFullModel:
+    def test_forward(self, tiny_cfg, tiny_model_and_vars, rng):
+        model, variables = tiny_model_and_vars
+        imgs = jnp.asarray(rng.randint(0, 255, (2, 96, 96, 3)), jnp.uint8)
+        qids = jnp.asarray(
+            rng.randint(1, 100, (2, tiny_cfg.model.max_question_len)), jnp.int32
+        )
+        logits = model.apply(variables, imgs, qids)
+        assert logits.shape == (2, tiny_cfg.model.answer_vocab_size)
+        assert bool(jnp.isfinite(logits).all())
+
+    def test_fanout_matches_single(self, tiny_cfg, tiny_model_and_vars, rng):
+        """answer_questions (encode-once fan-out) must equal per-question
+        forward passes — the batched-inference correctness contract [B:5]."""
+        model, variables = tiny_model_and_vars
+        imgs = jnp.asarray(rng.randint(0, 255, (1, 96, 96, 3)), jnp.uint8)
+        L = tiny_cfg.model.max_question_len
+        q1 = jnp.asarray(rng.randint(1, 100, (1, L)), jnp.int32)
+        q2 = jnp.asarray(rng.randint(1, 100, (1, L)), jnp.int32)
+
+        single1 = model.apply(variables, imgs, q1)
+        single2 = model.apply(variables, imgs, q2)
+
+        img_tok = model.apply(variables, imgs, method="encode_image")
+        fan = model.apply(
+            variables,
+            img_tok,
+            jnp.stack([q1, q2], axis=1),
+            method="answer_questions",
+        )
+        np.testing.assert_allclose(
+            np.asarray(fan[0, 0]), np.asarray(single1[0]), atol=1e-4
+        )
+        np.testing.assert_allclose(
+            np.asarray(fan[0, 1]), np.asarray(single2[0]), atol=1e-4
+        )
+
+    def test_all_registered_configs_validate(self):
+        from btia_tpu.configs import get_config, list_configs
+
+        for name in list_configs():
+            cfg = get_config(name)
+            assert cfg.model.image_dim > 0
+
+    def test_vit_config_builds(self, rng):
+        cfg = ModelConfig(
+            image_encoder="vit_b16",
+            question_encoder="bert",
+            hidden_dim=64,
+            num_heads=4,
+            btia_layers=1,
+            head="ad",
+            answer_vocab_size=16,
+            bert_layers=1,
+            bert_hidden=32,
+            bert_heads=2,
+            bert_vocab_size=100,
+            max_question_len=8,
+            mixed_precision=False,
+        )
+        model = build_model(cfg)
+        imgs = jnp.zeros((1, 256, 256, 3), jnp.uint8)
+        qids = jnp.ones((1, 8), jnp.int32)
+        variables = model.init(jax.random.PRNGKey(0), imgs, qids)
+        logits = model.apply(variables, imgs, qids)
+        assert logits.shape == (1, 16)

@@ -1,0 +1,132 @@
+"""Pallas kernels vs XLA references, interpret mode on CPU [SURVEY §4.2]."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from btia_tpu.ops.attention import mha, mha_reference
+from btia_tpu.ops.bicross import bicross_attention, bicross_reference
+from btia_tpu.ops.ingest import (
+    normalize_images,
+    preprocess_images,
+    resize_bilinear,
+)
+
+
+def _rand(rng, *shape):
+    return jnp.asarray(rng.randn(*shape), jnp.float32)
+
+
+class TestMHA:
+    def test_pallas_matches_reference(self, rng):
+        B, H, Sq, Sk, D = 2, 3, 17, 23, 32
+        q, k, v = _rand(rng, B, H, Sq, D), _rand(rng, B, H, Sk, D), _rand(rng, B, H, Sk, D)
+        mask = jnp.asarray(rng.rand(B, Sk) > 0.3)
+        ref = mha_reference(q, k, v, mask)
+        pal = mha(q, k, v, mask, impl="pallas", interpret=True)
+        np.testing.assert_allclose(np.asarray(ref), np.asarray(pal), atol=1e-5)
+
+    def test_no_mask(self, rng):
+        q, k, v = (_rand(rng, 1, 2, 9, 16) for _ in range(3))
+        ref = mha_reference(q, k, v)
+        pal = mha(q, k, v, impl="pallas", interpret=True)
+        np.testing.assert_allclose(np.asarray(ref), np.asarray(pal), atol=1e-5)
+
+    def test_bf16(self, rng):
+        q, k, v = (
+            _rand(rng, 1, 2, 12, 32).astype(jnp.bfloat16) for _ in range(3)
+        )
+        ref = mha_reference(q, k, v)
+        pal = mha(q, k, v, impl="pallas", interpret=True)
+        np.testing.assert_allclose(
+            np.asarray(ref, np.float32), np.asarray(pal, np.float32), atol=2e-2
+        )
+
+    def test_gradients_match_reference(self, rng):
+        B, H, Sq, Sk, D = 1, 2, 7, 11, 16
+        q, k, v = _rand(rng, B, H, Sq, D), _rand(rng, B, H, Sk, D), _rand(rng, B, H, Sk, D)
+        mask = jnp.asarray(rng.rand(B, Sk) > 0.3)
+
+        def loss_custom(q, k, v):
+            return jnp.sum(mha(q, k, v, mask, impl="xla") ** 2)
+
+        def loss_ref(q, k, v):
+            return jnp.sum(mha_reference(q, k, v, mask) ** 2)
+
+        gc = jax.grad(loss_custom, argnums=(0, 1, 2))(q, k, v)
+        gr = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+        for a, b in zip(gc, gr):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
+
+    def test_fully_masked_rows_do_not_nan(self, rng):
+        q, k, v = (_rand(rng, 1, 1, 4, 8) for _ in range(3))
+        mask = jnp.zeros((1, 4), bool).at[:, 0].set(True)
+        out = mha(q, k, v, mask, impl="xla")
+        assert bool(jnp.isfinite(out).all())
+
+
+class TestBicross:
+    def test_matches_reference(self, rng):
+        B, H, Ni, Nt, D = 2, 2, 13, 9, 32
+        qi, ki, vi = (_rand(rng, B, H, Ni, D) for _ in range(3))
+        qt, kt, vt = (_rand(rng, B, H, Nt, D) for _ in range(3))
+        mask = jnp.asarray(rng.rand(B, Nt) > 0.3)
+        ri, rt = bicross_reference(qi, ki, vi, qt, kt, vt, mask)
+        pi, pt = bicross_attention(
+            qi, ki, vi, qt, kt, vt, mask, impl="pallas", interpret=True
+        )
+        np.testing.assert_allclose(np.asarray(ri), np.asarray(pi), atol=1e-4)
+        np.testing.assert_allclose(np.asarray(rt), np.asarray(pt), atol=1e-4)
+
+    def test_grads_finite(self, rng):
+        B, H, Ni, Nt, D = 1, 2, 5, 4, 16
+        qi, ki, vi = (_rand(rng, B, H, Ni, D) for _ in range(3))
+        qt, kt, vt = (_rand(rng, B, H, Nt, D) for _ in range(3))
+
+        def loss(*args):
+            oi, ot = bicross_attention(*args, impl="xla")
+            return jnp.sum(oi**2) + jnp.sum(ot**2)
+
+        grads = jax.grad(loss, argnums=tuple(range(6)))(qi, ki, vi, qt, kt, vt)
+        for g in grads:
+            assert bool(jnp.isfinite(g).all())
+
+
+class TestIngest:
+    def test_resize_identity(self, rng):
+        img = jnp.asarray(rng.randint(0, 255, (1, 16, 16, 3)), jnp.uint8)
+        out = resize_bilinear(img, (16, 16))
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(img, np.float32), atol=1e-5
+        )
+
+    def test_resize_matches_torch_convention(self, rng):
+        torch = pytest.importorskip("torch")
+        import torch.nn.functional as F
+
+        img = rng.rand(2, 31, 45, 3).astype(np.float32) * 255
+        ours = np.asarray(resize_bilinear(jnp.asarray(img), (24, 24)))
+        t = torch.from_numpy(img).permute(0, 3, 1, 2)
+        theirs = (
+            F.interpolate(t, size=(24, 24), mode="bilinear", align_corners=False)
+            .permute(0, 2, 3, 1)
+            .numpy()
+        )
+        np.testing.assert_allclose(ours, theirs, atol=1e-3)
+
+    def test_normalize(self):
+        x = jnp.full((1, 2, 2, 3), 127.5)
+        out = normalize_images(x)
+        expected = (0.5 - np.array([0.485, 0.456, 0.406])) / np.array(
+            [0.229, 0.224, 0.225]
+        )
+        np.testing.assert_allclose(
+            np.asarray(out)[0, 0, 0], expected, atol=1e-3
+        )
+
+    def test_preprocess_jits(self, rng):
+        imgs = jnp.asarray(rng.randint(0, 255, (2, 48, 48, 3)), jnp.uint8)
+        out = jax.jit(lambda x: preprocess_images(x, (32, 32)))(imgs)
+        assert out.shape == (2, 32, 32, 3)
+        assert bool(jnp.isfinite(out).all())
