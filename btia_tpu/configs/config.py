@@ -21,6 +21,7 @@ IMAGE_ENCODERS = {
     "resnet50": (2048, 224, 49),  # 7x7 grid features [B:7]
     "vit_b16": (768, 224, 197),  # 196 patches + CLS [B:9]
     "vit_l336": (1024, 336, 577),  # 576 patches + CLS, patch 14 [B:11]
+    "resnet_tiny": (2048, 64, 4),  # 1-block stages @64px — tests/CI only
 }
 
 QUESTION_ENCODERS = ("lstm", "bert")
@@ -280,7 +281,7 @@ def _tiny_test() -> Config:
     return Config(
         name="tiny_test",
         model=ModelConfig(
-            image_encoder="resnet50",
+            image_encoder="resnet_tiny",
             question_encoder="lstm",
             hidden_dim=64,
             num_heads=4,
@@ -294,5 +295,5 @@ def _tiny_test() -> Config:
             mixed_precision=False,
         ),
         data=DataConfig(dataset="synthetic"),
-        train=TrainConfig(batch_size=4, eval_batch_size=4, epochs=2, warmup_steps=2),
+        train=TrainConfig(batch_size=8, eval_batch_size=8, epochs=2, warmup_steps=2),
     )

@@ -96,7 +96,9 @@ class AnswerVocab:
         return self.stoi.get(normalize_answer(answer), 0)
 
     def decode(self, idx: int) -> str:
-        return self.itos[idx]
+        # The model head may be statically larger than the built vocab
+        # (answer_vocab_size is a config constant); out-of-range → <unk>.
+        return self.itos[idx] if 0 <= idx < len(self.itos) else "<unk>"
 
     def save(self, path: str | Path) -> None:
         Path(path).write_text(json.dumps(self.itos))

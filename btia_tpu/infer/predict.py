@@ -62,7 +62,7 @@ class Predictor:
         cls, workdir: str | Path, best: bool = True
     ) -> "Predictor":
         """Load config + vocabs + best/latest weights from a Trainer workdir."""
-        from btia_tpu.parallel.mesh import make_mesh, MeshConfig
+        from btia_tpu.parallel.mesh import single_device_mesh
         from btia_tpu.train.checkpoint import Checkpointer
         from btia_tpu.train.steps import create_state
 
@@ -70,7 +70,7 @@ class Predictor:
         ckpt = Checkpointer(workdir / "checkpoints")
         cfg = ckpt.load_config()
         model = build_model(cfg.model)
-        mesh = make_mesh(MeshConfig(data=1, model=1))
+        mesh = single_device_mesh()
         state = create_state(model, cfg, mesh, steps_per_epoch=1)
         state = ckpt.restore(state, best=best)
 

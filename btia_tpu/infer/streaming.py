@@ -96,6 +96,8 @@ class StreamingServer:
                 logits, ns = in_flight.pop(0)
                 host = np.asarray(jax.device_get(logits))
                 for i, n in enumerate(ns):
+                    if n < 0:  # tail-padding row, not a real request
+                        continue
                     self.pairs_processed += n
                     yield host[i], n
 
@@ -112,7 +114,7 @@ class StreamingServer:
         if pending:
             pad = pending[-1]
             while len(pending) < self.B:
-                pending.append((pad[0], pad[1], 0))
+                pending.append((pad[0], pad[1], -1))
             dispatch(pending)
         yield from drain(block_all=True)
         self.wall_seconds += time.perf_counter() - t0

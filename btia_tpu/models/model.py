@@ -25,7 +25,7 @@ from btia_tpu.models.btia import BTIA
 from btia_tpu.models.heads import ADHead, SimpleClassifier
 from btia_tpu.models.layers import LayerNorm
 from btia_tpu.models.lstm import LSTMQuestionEncoder
-from btia_tpu.models.resnet import resnet50
+from btia_tpu.models.resnet import build_resnet
 from btia_tpu.models.vit import build_vit
 from btia_tpu.ops.ingest import preprocess_images
 
@@ -39,8 +39,8 @@ class BTIAADNet(nn.Module):
 
     def setup(self):
         cfg, policy = self.cfg, self.policy
-        if cfg.image_encoder == "resnet50":
-            self.image_encoder = resnet50(policy)
+        if cfg.image_encoder.startswith("resnet"):
+            self.image_encoder = build_resnet(cfg.image_encoder, policy)
         else:
             self.image_encoder = build_vit(cfg.image_encoder, policy, cfg.dropout)
         if cfg.question_encoder == "lstm":

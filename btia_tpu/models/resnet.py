@@ -25,6 +25,7 @@ from btia_tpu.core.dtypes import DTypePolicy
 STAGE_SIZES = {  # torchvision layer multiplicities
     "resnet50": (3, 4, 6, 3),
     "resnet101": (3, 4, 23, 3),
+    "resnet_tiny": (1, 1, 1, 1),  # tests/CI only
 }
 
 
@@ -105,5 +106,9 @@ class ResNet(nn.Module):
         return x.reshape(B, H * W, C)
 
 
+def build_resnet(name: str, policy: DTypePolicy = DTypePolicy()) -> ResNet:
+    return ResNet(stage_sizes=STAGE_SIZES[name], policy=policy)
+
+
 def resnet50(policy: DTypePolicy = DTypePolicy()) -> ResNet:
-    return ResNet(stage_sizes=STAGE_SIZES["resnet50"], policy=policy)
+    return build_resnet("resnet50", policy)

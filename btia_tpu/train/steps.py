@@ -157,14 +157,19 @@ def make_train_step(
     return jax.jit(step, donate_argnums=donate)
 
 
-def make_eval_step(model: BTIAADNet, cfg: Config, mesh: Mesh) -> Callable:
+def make_eval_step(
+    model: BTIAADNet, cfg: Config, mesh: Mesh, vocab_size: int = 0
+) -> Callable:
     b_sh = batch_sharding(mesh)
+    limit = vocab_size or cfg.model.answer_vocab_size
 
     def step(state: TrainState, batch: dict) -> dict:
         images = jax.lax.with_sharding_constraint(batch["images"], b_sh)
         qids = jax.lax.with_sharding_constraint(batch["question_ids"], b_sh)
         logits = model.apply(state.variables(), images, qids, train=False)
-        preds = jnp.argmax(logits, -1)
+        # The head is statically sized to the config vocab; only the first
+        # len(answer_vocab) entries denote real answers.
+        preds = jnp.argmax(logits[..., :limit], -1)
         correct = (preds == batch["answer_ids"]) & batch["valid"]
         return {"preds": preds, "correct": correct}
 

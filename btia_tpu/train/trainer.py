@@ -58,7 +58,9 @@ class Trainer:
             self.model, cfg, self.mesh, steps_per_epoch=self.data.steps("train")
         )
         self.train_step = make_train_step(self.model, cfg, self.mesh)
-        self.eval_step = make_eval_step(self.model, cfg, self.mesh)
+        self.eval_step = make_eval_step(
+            self.model, cfg, self.mesh, vocab_size=len(self.data.answer_vocab)
+        )
         self.ckpt = Checkpointer(
             self.workdir / cfg.train.checkpoint_dir, cfg.train.keep_checkpoints
         )

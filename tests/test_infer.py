@@ -1,0 +1,95 @@
+"""Inference API tests: predict contract [B:5], fan-out bucketing,
+streaming server [B:11]."""
+
+import numpy as np
+import pytest
+
+from btia_tpu.infer.predict import Predictor, _bucket
+from btia_tpu.infer.streaming import StreamingServer
+
+
+@pytest.fixture(scope="module")
+def predictor(tmp_path_factory):
+    """Train one epoch on synthetic data, load the checkpoint back."""
+    from btia_tpu.configs import get_config
+    from btia_tpu.configs.config import Config, DataConfig
+    from btia_tpu.data.synthetic import generate_synthetic_dataset
+    from btia_tpu.train.trainer import Trainer
+
+    root = tmp_path_factory.mktemp("inferdata")
+    generate_synthetic_dataset(root)
+    base = get_config("tiny_test")
+    cfg = Config(
+        name=base.name,
+        model=base.model,
+        data=DataConfig(dataset="vqa_rad", data_dir=str(root)),
+        train=base.train,
+        mesh=base.mesh,
+    )
+    workdir = tmp_path_factory.mktemp("inferrun")
+    trainer = Trainer(cfg, workdir)
+    trainer.fit(epochs=1)
+    return Predictor.from_checkpoint(workdir), trainer.data
+
+
+class TestBucketing:
+    def test_buckets(self):
+        assert _bucket(1) == 1
+        assert _bucket(3) == 4
+        assert _bucket(64) == 64
+        assert _bucket(65) == 128
+
+
+class TestPredict:
+    def test_predict_shape(self, predictor):
+        p, dm = predictor
+        img = dm.train[0].image_path
+        logits = p.predict(img, "is the lung normal")
+        assert logits.shape == (p.cfg.model.answer_vocab_size,)
+        assert np.isfinite(logits).all()
+
+    def test_predict_batch_matches_single(self, predictor):
+        p, dm = predictor
+        img = dm.train[0].image_path
+        qs = ["is the lung normal", "what organ is shown"]
+        batch_logits = p.predict_batch(img, qs)
+        single0 = p.predict(img, qs[0])
+        # same compiled path → identical; cross-bucket → close
+        np.testing.assert_allclose(batch_logits[0], single0, atol=1e-4)
+
+    def test_predict_answer_is_string(self, predictor):
+        p, dm = predictor
+        ans = p.predict_answer(dm.train[0].image_path, "is the lung normal")
+        assert isinstance(ans, str) and ans
+
+    def test_predict_accepts_ndarray(self, predictor, rng):
+        p, _ = predictor
+        img = rng.randint(0, 255, (64, 64, 3)).astype(np.uint8)
+        logits = p.predict(img, "is this normal")
+        assert np.isfinite(logits).all()
+
+    def test_predict_accepts_dicom(self, predictor, tmp_path, rng):
+        from btia_tpu.data.dicom import write_dicom
+
+        p, _ = predictor
+        path = tmp_path / "q.dcm"
+        write_dicom(path, (rng.rand(32, 32) * 3000).astype(np.uint16))
+        logits = p.predict(str(path), "what modality was used")
+        assert np.isfinite(logits).all()
+
+
+class TestStreaming:
+    def test_serve_order_and_shapes(self, predictor, rng):
+        p, dm = predictor
+        server = StreamingServer(
+            p, image_batch=2, questions_per_image=4, decode_threads=2
+        )
+        paths = [s.image_path for s in dm.train[:5]]
+        reqs = [(path, ["q one", "q two", "q three"]) for path in paths]
+        results = list(server.serve(iter(reqs)))
+        assert len(results) == 5
+        for logits, n in results:
+            assert n == 3
+            assert logits.shape == (4, p.cfg.model.answer_vocab_size)
+        assert server.pairs_processed == 15
+        assert server.pairs_per_second > 0

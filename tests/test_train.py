@@ -1,0 +1,130 @@
+"""Integration tier [SURVEY §4.2]: overfit-a-batch, eval metrics,
+checkpoint save/restore/resume."""
+
+from pathlib import Path
+
+import jax
+import numpy as np
+import pytest
+
+from btia_tpu.configs.config import Config, DataConfig
+from btia_tpu.data.builder import build_data
+from btia_tpu.data.synthetic import generate_synthetic_dataset
+from btia_tpu.models.model import build_model
+from btia_tpu.parallel.mesh import MeshConfig, make_mesh
+from btia_tpu.train.metrics import EvalAccumulator, corpus_bleu
+from btia_tpu.train.steps import create_state, cross_entropy, make_train_step
+from btia_tpu.train.trainer import Trainer, batch_to_device
+
+
+@pytest.fixture(scope="module")
+def tiny_run(tmp_path_factory):
+    from btia_tpu.configs import get_config
+
+    root = tmp_path_factory.mktemp("traindata")
+    generate_synthetic_dataset(root)
+    base = get_config("tiny_test")
+    cfg = Config(
+        name=base.name,
+        model=base.model,
+        data=DataConfig(dataset="vqa_rad", data_dir=str(root)),
+        train=base.train,
+        mesh=base.mesh,
+    )
+    return cfg, root
+
+
+class TestLoss:
+    def test_cross_entropy_matches_manual(self, rng):
+        import jax.numpy as jnp
+
+        logits = jnp.asarray(rng.randn(4, 7), jnp.float32)
+        labels = jnp.asarray([0, 3, 6, 2])
+        loss = cross_entropy(logits, labels)
+        manual = -np.mean(
+            [
+                np.log(np.exp(l_) / np.exp(l_).sum())[y]
+                for l_, y in zip(np.asarray(logits, np.float64), np.asarray(labels))
+            ]
+        )
+        assert abs(float(loss) - manual) < 1e-5
+
+    def test_valid_mask_excludes_rows(self, rng):
+        import jax.numpy as jnp
+
+        logits = jnp.asarray(rng.randn(4, 7), jnp.float32)
+        labels = jnp.asarray([0, 3, 6, 2])
+        valid = jnp.asarray([True, True, False, False])
+        masked = cross_entropy(logits, labels, valid=valid)
+        subset = cross_entropy(logits[:2], labels[:2])
+        assert abs(float(masked) - float(subset)) < 1e-6
+
+
+class TestTrainStep:
+    def test_overfit_single_batch(self, tiny_run):
+        cfg, _ = tiny_run
+        dm = build_data(cfg)
+        model = build_model(cfg.model)
+        mesh = make_mesh(MeshConfig(data=-1, model=1))
+        state = create_state(model, cfg, mesh, steps_per_epoch=10)
+        step = make_train_step(model, cfg, mesh)
+        batch = next(iter(dm.iterator("train", batch_size=8)))
+        device_batch = batch_to_device(batch, mesh)
+        losses = []
+        for _ in range(12):
+            state, m = step(state, device_batch)
+            losses.append(float(jax.device_get(m["loss"])))
+        assert losses[-1] < losses[0] * 0.7, f"no overfit: {losses}"
+        assert np.isfinite(losses).all()
+
+
+class TestTrainer:
+    def test_fit_eval_checkpoint_resume(self, tiny_run, tmp_path):
+        cfg, _ = tiny_run
+        workdir = tmp_path / "run"
+        trainer = Trainer(cfg, workdir)
+        history = trainer.fit(epochs=1)
+        assert len(history) == 1
+        assert "val_accuracy" in history[0]
+        metrics = trainer.evaluate("test")
+        assert 0.0 <= metrics["accuracy"] <= 1.0
+        assert "closed_accuracy" in metrics
+
+        # checkpoint round-trip into a fresh trainer
+        step_before = int(jax.device_get(trainer.state.step))
+        trainer2 = Trainer(cfg, workdir)
+        assert trainer2.resume_if_available()
+        assert int(jax.device_get(trainer2.state.step)) == step_before
+        p1 = jax.tree.leaves(trainer.state.params)[0]
+        p2 = jax.tree.leaves(trainer2.state.params)[0]
+        np.testing.assert_allclose(np.asarray(p1), np.asarray(p2))
+
+
+class TestMetrics:
+    def test_accumulator_breakdowns(self):
+        acc = EvalAccumulator()
+        acc.add_batch(
+            correct=np.array([True, False, True]),
+            valid=np.array([True, True, True]),
+            answer_types=["CLOSED", "CLOSED", "OPEN"],
+            categories=["modality", "organ", "modality"],
+        )
+        s = acc.summary()
+        assert s["accuracy"] == pytest.approx(2 / 3)
+        assert s["closed_accuracy"] == pytest.approx(1 / 2)
+        assert s["open_accuracy"] == pytest.approx(1.0)
+        assert s["accuracy/modality"] == pytest.approx(1.0)
+
+    def test_padding_rows_ignored(self):
+        acc = EvalAccumulator()
+        acc.add_batch(
+            correct=np.array([True, True]),
+            valid=np.array([True, False]),
+            answer_types=["OPEN", "OPEN"],
+            categories=["", ""],
+        )
+        assert len(acc.correct) == 1
+
+    def test_bleu_perfect_and_zero(self):
+        assert corpus_bleu(["left lung"], ["left lung"]) > 0.9
+        assert corpus_bleu(["xyz"], ["abc def"]) < 0.4
