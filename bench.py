@@ -1,0 +1,118 @@
+"""Headline benchmark: image–question pairs/sec/chip, streaming inference
+[B:2, B:5, B:11]. Prints ONE JSON line.
+
+Measures the device serving pipeline of the streaming config [B:11] —
+on-device resize/normalize → ViT-L/336 encode (ONCE per image) → BTIA
+fusion → AD answer head fanned out over Q questions per image — on
+randomly initialized weights (no pretrained checkpoints exist on this
+machine, SURVEY §7.1; throughput is weight-independent).
+
+Baseline: the reference publishes no numbers (BASELINE.json:13
+"published": {}); the build target is ≥5,000 pairs/sec/chip [B:5], so
+vs_baseline = measured / 5000.
+
+Flags: --config NAME --images N --questions Q --batch B --steps N --json-only
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+TARGET_PAIRS_PER_SEC = 5000.0
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--config", default="streaming_vitl")
+    ap.add_argument("--batch", type=int, default=8, help="images per step")
+    ap.add_argument("--questions", type=int, default=32, help="questions/image")
+    ap.add_argument("--steps", type=int, default=20)
+    ap.add_argument("--warmup", type=int, default=3)
+    ap.add_argument("--json-only", action="store_true")
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from btia_tpu.configs import get_config
+    from btia_tpu.models.model import build_model
+
+    cfg = get_config(args.config)
+    model = build_model(cfg.model)
+    B, Q = args.batch, args.questions
+    L = cfg.model.max_question_len
+    ingest = max(256, cfg.model.image_size)
+
+    rng = np.random.RandomState(0)
+    key = jax.random.PRNGKey(0)
+    init_imgs = jnp.zeros((2, ingest, ingest, 3), jnp.uint8)
+    init_qids = jnp.zeros((2, L), jnp.int32)
+    t0 = time.perf_counter()
+    variables = jax.jit(model.init, static_argnames=("train",))(
+        {"params": key, "dropout": key}, init_imgs, init_qids, train=False
+    )
+    init_s = time.perf_counter() - t0
+
+    def serve_step(variables, images, qids):
+        img_tokens = model.apply(variables, images, method="encode_image")
+        return model.apply(variables, img_tokens, qids, method="answer_questions")
+
+    fwd = jax.jit(serve_step)
+
+    # Host-staged uint8 inputs (decode is host-side by design [B:5]); a few
+    # distinct buffers so we are not measuring a cached-transfer fiction.
+    n_bufs = 4
+    image_bufs = [
+        rng.randint(0, 255, (B, ingest, ingest, 3)).astype(np.uint8)
+        for _ in range(n_bufs)
+    ]
+    qid_bufs = [
+        rng.randint(1, cfg.model.bert_vocab_size, (B, Q, L)).astype(np.int32)
+        for _ in range(n_bufs)
+    ]
+
+    t0 = time.perf_counter()
+    fwd(variables, image_bufs[0], qid_bufs[0]).block_until_ready()
+    compile_s = time.perf_counter() - t0
+
+    for i in range(args.warmup):
+        fwd(variables, image_bufs[i % n_bufs], qid_bufs[i % n_bufs]).block_until_ready()
+
+    t0 = time.perf_counter()
+    out = None
+    for i in range(args.steps):
+        out = fwd(variables, image_bufs[i % n_bufs], qid_bufs[i % n_bufs])
+    out.block_until_ready()
+    wall = time.perf_counter() - t0
+
+    pairs = args.steps * B * Q
+    pairs_per_sec = pairs / wall
+    result = {
+        "metric": "image_question_pairs_per_sec_per_chip",
+        "value": round(pairs_per_sec, 1),
+        "unit": "pairs/s/chip",
+        "vs_baseline": round(pairs_per_sec / TARGET_PAIRS_PER_SEC, 3),
+    }
+    if not args.json_only:
+        detail = {
+            "config": args.config,
+            "device": str(jax.devices()[0]),
+            "images_per_step": B,
+            "questions_per_image": Q,
+            "steps": args.steps,
+            "wall_s": round(wall, 3),
+            "step_ms": round(1000 * wall / args.steps, 2),
+            "init_s": round(init_s, 1),
+            "compile_s": round(compile_s, 1),
+        }
+        print(json.dumps(detail), file=sys.stderr)
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -52,6 +52,12 @@ class ModelConfig:
     mlp_ratio: float = 4.0
     dropout: float = 0.1
     num_answer_queries: int = 0  # 0 → one query per answer (AD head)
+    # Pool the image patch grid to (g, g) tokens before fusion (0 = off).
+    # TPU-first throughput lever for the many-questions-per-image fan-out
+    # [B:11]: fused tokens replicate per question, so 577 ViT-L tokens
+    # through 4 BTIA layers dominate the per-pair cost; pooling to 7x7+CLS
+    # cuts fusion FLOPs ~7x at negligible accuracy cost.
+    image_pool_grid: int = 0
     mixed_precision: bool = True
 
     @property
@@ -269,6 +275,8 @@ def _streaming_vitl() -> Config:
             btia_layers=4,
             head="ad",
             answer_vocab_size=2048,
+            num_answer_queries=256,  # factorized head: 8x cheaper fan-out
+            image_pool_grid=7,  # 577 → 50 fused tokens per question
         ),
         data=DataConfig(dataset="vqa_rad"),
         mesh=MeshCfg(data=-1, model=2),

@@ -149,7 +149,7 @@ class SimpleClassifier(nn.Module):
             dtype=self.policy.compute_dtype,
             param_dtype=self.policy.param_dtype,
         )(joint)
-        x = nn.gelu(x)
+        x = nn.gelu(x, approximate=False)
         x = nn.Dropout(self.dropout)(x, deterministic=deterministic)
         logits = nn.Dense(
             self.vocab_size,

@@ -7,6 +7,7 @@ Module names matter: ``q_proj``/``k_proj``/``v_proj``/``o_proj`` and
 
 from __future__ import annotations
 
+import functools
 from typing import Callable, Optional
 
 import flax.linen as nn
@@ -73,7 +74,9 @@ class Mlp(nn.Module):
     dim: int
     hidden_dim: int
     policy: DTypePolicy = DTypePolicy()
-    act: Callable = nn.gelu
+    # exact (erf) GELU — the torchvision/timm/HF convention, so converted
+    # PyTorch checkpoints agree at the 1e-4 logit level [SURVEY §7.3].
+    act: Callable = functools.partial(nn.gelu, approximate=False)
     dropout: float = 0.0
 
     @nn.compact

@@ -59,6 +59,7 @@ class BTIAADNet(nn.Module):
                     dim=cfg.bert_hidden,
                     depth=cfg.bert_layers,
                     num_heads=cfg.bert_heads,
+                    mlp_dim=4 * cfg.bert_hidden,
                 ),
                 policy=policy,
                 dropout=cfg.dropout,
@@ -104,6 +105,28 @@ class BTIAADNet(nn.Module):
 
     # ---- staged API (encode once, fan out questions) ---------------------
 
+    def _pool_image_tokens(self, feats: jax.Array) -> jax.Array:
+        """Bilinear-downsample the patch/grid tokens to (g, g) via two MXU
+        matmuls (keeps a ViT CLS token untouched). See ModelConfig
+        .image_pool_grid — the fan-out throughput lever [B:11]."""
+        gt = self.cfg.image_pool_grid
+        if not gt:
+            return feats
+        has_cls = not self.cfg.image_encoder.startswith("resnet")
+        cls, grid = (feats[:, :1], feats[:, 1:]) if has_cls else (None, feats)
+        B, N, D = grid.shape
+        g = int(round(N**0.5))
+        if g <= gt:
+            return feats
+        from btia_tpu.ops.ingest import _resize_matrix
+
+        m = jnp.asarray(_resize_matrix(g, gt)).astype(grid.dtype)
+        x = grid.reshape(B, g, g, D)
+        x = jnp.einsum("hH,bHwc->bhwc", m, x)
+        x = jnp.einsum("wW,bhWc->bhwc", m, x)
+        x = x.reshape(B, gt * gt, D)
+        return jnp.concatenate([cls, x], axis=1) if has_cls else x
+
     def encode_image(self, images: jax.Array, train: bool = False) -> jax.Array:
         """images: uint8/float (B, H, W, 3), any size → (B, N_img, hidden)."""
         s = self.cfg.image_size
@@ -111,6 +134,7 @@ class BTIAADNet(nn.Module):
             images, (s, s), out_dtype=self.policy.compute_dtype
         )
         feats = self.image_encoder(x, train=train)
+        feats = self._pool_image_tokens(feats)
         return self.img_ln(self.img_proj(feats))
 
     def encode_question(

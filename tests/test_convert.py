@@ -1,0 +1,118 @@
+"""Parity tier [SURVEY §4.2]: PyTorch → JAX conversion, logit-level
+agreement on fixed probes (the B:5 fidelity gate)."""
+
+import dataclasses
+
+import jax
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+from btia_tpu.configs.config import ModelConfig
+from btia_tpu.convert.convert import flax_params_from_torch, verify_parity
+from btia_tpu.convert.torch_ref import build_torch_model
+from btia_tpu.models.model import build_model
+
+
+def _probes(rng, cfg, B=2):
+    ingest = max(96, cfg.image_size)
+    images = rng.randint(0, 255, (B, ingest, ingest, 3)).astype(np.uint8)
+    vocab = (
+        cfg.question_vocab_size
+        if cfg.question_encoder == "lstm"
+        else cfg.bert_vocab_size
+    )
+    qids = rng.randint(1, vocab, (B, cfg.max_question_len)).astype(np.int32)
+    qids[:, -3:] = 0  # exercise padding/masking
+    return images, qids
+
+
+def _roundtrip(cfg: ModelConfig, rng, atol=2e-4):
+    torch_model = build_torch_model(cfg, seed=0)
+    flax_model = build_model(cfg)
+    images, qids = _probes(rng, cfg)
+    key = jax.random.PRNGKey(0)
+    template = flax_model.init({"params": key, "dropout": key}, images, qids)
+    variables = flax_params_from_torch(torch_model, template)
+    err = verify_parity(torch_model, flax_model, variables, images, qids, atol=atol)
+    return err
+
+
+TINY_LSTM = ModelConfig(
+    image_encoder="resnet_tiny",
+    question_encoder="lstm",
+    hidden_dim=64,
+    num_heads=4,
+    btia_layers=1,
+    head="mlp",
+    answer_vocab_size=16,
+    question_vocab_size=120,
+    word_embed_dim=24,
+    lstm_hidden=32,
+    max_question_len=10,
+    mixed_precision=False,
+)
+
+
+class TestParity:
+    def test_resnet_lstm_mlp(self, rng):
+        """PR1 config family [B:7]: ResNet + LSTM + BTIA + classifier."""
+        err = _roundtrip(TINY_LSTM, rng)
+        assert err < 2e-4
+
+    def test_bert_ad_head(self, rng):
+        """Enhanced family [B:10]: BERT + BTIA + per-answer AD head."""
+        cfg = dataclasses.replace(
+            TINY_LSTM,
+            question_encoder="bert",
+            head="ad",
+            bert_layers=2,
+            bert_hidden=32,
+            bert_heads=2,
+            bert_vocab_size=100,
+        )
+        err = _roundtrip(cfg, rng)
+        assert err < 2e-4
+
+    def test_factorized_ad_head_and_pooling(self, rng):
+        """Streaming family [B:11]: factorized AD head + token pooling."""
+        cfg = dataclasses.replace(
+            TINY_LSTM,
+            head="ad",
+            num_answer_queries=8,
+            image_pool_grid=1,
+        )
+        err = _roundtrip(cfg, rng)
+        assert err < 2e-4
+
+    def test_shape_mismatch_raises(self, rng):
+        torch_model = build_torch_model(TINY_LSTM, seed=0)
+        flax_model = build_model(
+            dataclasses.replace(TINY_LSTM, hidden_dim=32)
+        )
+        images, qids = _probes(rng, TINY_LSTM)
+        key = jax.random.PRNGKey(0)
+        template = flax_model.init({"params": key, "dropout": key}, images, qids)
+        with pytest.raises((ValueError, KeyError)):
+            flax_params_from_torch(torch_model, template)
+
+
+class TestGoldens:
+    def test_golden_logits_stable(self, rng, tmp_path):
+        """Converted-model logits on fixed probes are reproducible
+        [SURVEY §4.2 'golden-file logits']."""
+        g = np.random.RandomState(42)
+        torch_model = build_torch_model(TINY_LSTM, seed=0)
+        flax_model = build_model(TINY_LSTM)
+        images, qids = _probes(g, TINY_LSTM)
+        key = jax.random.PRNGKey(0)
+        template = flax_model.init({"params": key, "dropout": key}, images, qids)
+        variables = flax_params_from_torch(torch_model, template)
+        logits1 = np.asarray(
+            flax_model.apply(variables, images, qids, train=False)
+        )
+        logits2 = np.asarray(
+            flax_model.apply(variables, images, qids, train=False)
+        )
+        np.testing.assert_array_equal(logits1, logits2)
