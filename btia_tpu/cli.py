@@ -1,0 +1,155 @@
+"""Command-line interface — train / eval / predict / convert / bench
+[SURVEY §2.3 "CLI / config"; replaces the reference's argparse scripts].
+
+    python -m btia_tpu.cli train   --config vqa_rad_lstm --workdir runs/rad \
+        --set data.data_dir=/data/vqa_rad --set train.epochs=40
+    python -m btia_tpu.cli eval    --workdir runs/rad --split test
+    python -m btia_tpu.cli predict --workdir runs/rad \
+        --image chest.dcm --question "is the lung normal"
+    python -m btia_tpu.cli convert --config vqa_rad_lstm \
+        --torch-ckpt ref.pt --workdir runs/converted
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+from pathlib import Path
+
+
+def _parse_overrides(pairs):
+    out = {}
+    for pair in pairs or []:
+        if "=" not in pair:
+            raise SystemExit(f"--set expects key=value, got {pair!r}")
+        k, v = pair.split("=", 1)
+        try:
+            v = json.loads(v)
+        except json.JSONDecodeError:
+            pass
+        out[k] = v
+    return out
+
+
+def cmd_train(args) -> None:
+    from btia_tpu.configs import get_config
+    from btia_tpu.train.trainer import Trainer
+
+    cfg = get_config(args.config, **_parse_overrides(args.set))
+    trainer = Trainer(cfg, args.workdir)
+    if args.resume:
+        resumed = trainer.resume_if_available()
+        print(f"resume: {'ok' if resumed else 'no checkpoint found'}")
+    history = trainer.fit()
+    print(json.dumps(history[-1] if history else {}, indent=2))
+
+
+def cmd_eval(args) -> None:
+    from btia_tpu.train.checkpoint import Checkpointer
+    from btia_tpu.train.trainer import Trainer
+
+    ckpt = Checkpointer(Path(args.workdir) / "checkpoints")
+    cfg = ckpt.load_config()
+    trainer = Trainer(cfg, args.workdir)
+    trainer.state = trainer.ckpt.restore(trainer.state, best=args.best)
+    metrics = trainer.evaluate(args.split)
+    print(json.dumps(metrics, indent=2, sort_keys=True))
+
+
+def cmd_predict(args) -> None:
+    from btia_tpu.infer.predict import Predictor
+
+    p = Predictor.from_checkpoint(args.workdir, best=args.best)
+    questions = args.question
+    logits = p.predict_batch(args.image, questions)
+    for q, l_ in zip(questions, logits):
+        top = l_.argsort()[-3:][::-1]
+        answers = [
+            {"answer": p.answer_vocab.decode(int(i)), "logit": float(l_[i])}
+            for i in top
+        ]
+        print(json.dumps({"question": q, "top": answers}))
+
+
+def cmd_convert(args) -> None:
+    import torch
+
+    from btia_tpu.configs import get_config
+    from btia_tpu.convert.convert import convert_state_dict
+    from btia_tpu.models.model import build_model
+    from btia_tpu.parallel.mesh import single_device_mesh
+    from btia_tpu.train.checkpoint import Checkpointer
+    from btia_tpu.train.steps import create_state
+
+    cfg = get_config(args.config, **_parse_overrides(args.set))
+    model = build_model(cfg.model)
+    mesh = single_device_mesh()
+    state = create_state(model, cfg, mesh, steps_per_epoch=1)
+    sd = torch.load(args.torch_ckpt, map_location="cpu", weights_only=True)
+    if "state_dict" in sd:
+        sd = sd["state_dict"]
+    template = {"params": state.params}
+    if state.batch_stats:
+        template["batch_stats"] = state.batch_stats
+    converted = convert_state_dict(sd, template)
+    state = state.replace(
+        params=converted["params"],
+        batch_stats=converted.get("batch_stats", state.batch_stats),
+    )
+    ckpt = Checkpointer(Path(args.workdir) / "checkpoints")
+    ckpt.save_config(cfg)
+    ckpt.save(state)
+    print(f"converted {args.torch_ckpt} → {args.workdir}")
+
+
+def cmd_bench(args) -> None:
+    import subprocess
+
+    cmd = [sys.executable, str(Path(__file__).parent.parent / "bench.py")]
+    if args.config:
+        cmd += ["--config", args.config]
+    raise SystemExit(subprocess.call(cmd))
+
+
+def main(argv=None) -> None:
+    ap = argparse.ArgumentParser(prog="btia_tpu")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    p = sub.add_parser("train", help="train a registered config")
+    p.add_argument("--config", required=True)
+    p.add_argument("--workdir", default="runs/default")
+    p.add_argument("--set", action="append", metavar="key=value")
+    p.add_argument("--resume", action="store_true")
+    p.set_defaults(fn=cmd_train)
+
+    p = sub.add_parser("eval", help="evaluate a checkpoint")
+    p.add_argument("--workdir", required=True)
+    p.add_argument("--split", default="test")
+    p.add_argument("--best", action="store_true")
+    p.set_defaults(fn=cmd_eval)
+
+    p = sub.add_parser("predict", help="predict(image, question) [B:5]")
+    p.add_argument("--workdir", required=True)
+    p.add_argument("--image", required=True)
+    p.add_argument("--question", action="append", required=True)
+    p.add_argument("--best", action="store_true")
+    p.set_defaults(fn=cmd_predict)
+
+    p = sub.add_parser("convert", help="PyTorch ckpt → orbax [B:5]")
+    p.add_argument("--config", required=True)
+    p.add_argument("--torch-ckpt", required=True)
+    p.add_argument("--workdir", required=True)
+    p.add_argument("--set", action="append", metavar="key=value")
+    p.set_defaults(fn=cmd_convert)
+
+    p = sub.add_parser("bench", help="run the headline benchmark")
+    p.add_argument("--config", default=None)
+    p.set_defaults(fn=cmd_bench)
+
+    args = ap.parse_args(argv)
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()

@@ -215,6 +215,15 @@ def _mha_bwd(use_pallas, interpret, res, g):
 _mha.defvjp(_mha_fwd, _mha_bwd)
 
 
+# Below this score-tile size, a grid of per-(batch, head) Pallas programs
+# is pure overhead — tiny matmuls underfeed the MXU and the batched-einsum
+# XLA lowering (which keeps the small score tile in registers/VMEM via
+# fusion) wins. Measured on v5e: the 82-token fused-fan-out sequences
+# [B:11] are far better off in XLA; the 577-token ViT sequences need the
+# Pallas kernel (XLA materializes/OOMs there).
+_SMALL_SCORE_TILE = 32_768  # Sq * Sk elements
+
+
 def mha(
     q: jax.Array,
     k: jax.Array,
@@ -226,7 +235,10 @@ def mha(
     """Multi-head attention, fused on TPU.
 
     q: (B, H, Sq, Dh); k, v: (B, H, Sk, Dh); kv_mask: (B, Sk) True=valid.
-    impl: None → module default ('pallas' on TPU else 'xla').
+    impl: None → auto ('pallas' on TPU for large score tiles, else 'xla').
     """
-    impl = impl or _resolved_impl()
+    if impl is None:
+        impl = _resolved_impl()
+        if impl == "pallas" and q.shape[2] * k.shape[2] <= _SMALL_SCORE_TILE:
+            impl = "xla"
     return _mha(q, k, v, kv_mask, impl == "pallas", interpret)

@@ -167,5 +167,15 @@ def bicross_attention(
     Image side (B, H, Ni, Dh), text side (B, H, Nt, Dh); txt_mask (B, Nt)
     True=valid. Returns (out_img, out_txt).
     """
-    impl = impl or _resolved_impl()
+    if impl is None:
+        impl = _resolved_impl()
+        # Same small-tile heuristic as ops.attention.mha: for the pooled
+        # fan-out sequences the per-(b,h) program grid is pure overhead.
+        from btia_tpu.ops.attention import _SMALL_SCORE_TILE
+
+        if (
+            impl == "pallas"
+            and qi.shape[2] * qt.shape[2] <= _SMALL_SCORE_TILE
+        ):
+            impl = "xla"
     return _bicross(qi, ki, vi, qt, kt, vt, txt_mask, impl == "pallas", interpret)

@@ -7,6 +7,8 @@ checkpointing, and resume-from-latest.
 
 from __future__ import annotations
 
+import itertools
+import signal
 import time
 from pathlib import Path
 from typing import Dict, List, Optional
@@ -67,6 +69,19 @@ class Trainer:
         self.ckpt.save_config(cfg)
         self.data.save_vocabs(self.workdir / "vocabs")
         self.logger = MetricLogger(self.workdir / "metrics.jsonl")
+        self._preempted = False
+
+    def install_preemption_handler(self) -> None:
+        """SIGTERM-safe training [SURVEY §5.3]: on TPU maintenance events /
+        preemption the process gets SIGTERM; we finish the in-flight step,
+        checkpoint, and exit cleanly. Resume continues bit-identically
+        (deterministic iterator + stored step, see fit())."""
+
+        def handler(signum, frame):
+            self._preempted = True
+
+        signal.signal(signal.SIGTERM, handler)
+        signal.signal(signal.SIGINT, handler)
 
     def resume_if_available(self) -> bool:
         if self.ckpt.latest_step() is not None:
@@ -78,15 +93,26 @@ class Trainer:
         cfg = self.cfg
         history: List[Dict[str, float]] = []
         epochs = epochs or cfg.train.epochs
-        for epoch in range(epochs):
+        # Mid-epoch resume [SURVEY §5.3]: the iterator order is a pure
+        # function of (seed, epoch), so (epoch, offset) derived from the
+        # restored step reproduces the exact uninterrupted batch sequence.
+        spe = max(self.data.steps("train"), 1)
+        start_step = int(jax.device_get(self.state.step))
+        start_epoch, start_offset = divmod(start_step, spe)
+        for epoch in range(start_epoch, epochs):
             t0 = time.time()
             losses, accs, n_items = [], [], 0
-            for i, batch in enumerate(
-                self.data.iterator("train", seed=cfg.train.seed + epoch)
-            ):
+            it = self.data.iterator("train", seed=cfg.train.seed + epoch)
+            offset = start_offset if epoch == start_epoch else 0
+            it = itertools.islice(it, offset, None)
+            for i, batch in enumerate(it):
                 device_batch = batch_to_device(batch, self.mesh)
                 self.state, m = self.train_step(self.state, device_batch)
                 n_items += len(batch)
+                if self._preempted:
+                    self.ckpt.save(self.state)
+                    self.logger.log(split="preempt", step=start_step + i)
+                    return history
                 if (i + 1) % cfg.train.log_every == 0 or i == 0:
                     m = jax.device_get(m)
                     losses.append(float(m["loss"]))

@@ -100,6 +100,37 @@ class TestTrainer:
         np.testing.assert_allclose(np.asarray(p1), np.asarray(p2))
 
 
+class TestPreemptionAndResume:
+    def test_mid_epoch_resume_step_accounting(self, tiny_run, tmp_path):
+        """Restored step → (epoch, offset); fit completes exactly the
+        remaining steps [SURVEY §5.3]."""
+        cfg, _ = tiny_run
+        trainer = Trainer(cfg, tmp_path / "resume_run")
+        spe = trainer.data.steps("train")
+        assert spe >= 1
+        # Simulate a restore 1 step into epoch 0.
+        trainer.state = trainer.state.replace(
+            step=trainer.state.step + 1
+        )
+        trainer.fit(epochs=1)
+        assert int(jax.device_get(trainer.state.step)) == spe
+
+    def test_preemption_checkpoints_and_exits(self, tiny_run, tmp_path):
+        """Fault injection [SURVEY §5.3]: a preemption signal mid-epoch
+        saves a checkpoint and returns promptly."""
+        cfg, _ = tiny_run
+        workdir = tmp_path / "preempt_run"
+        trainer = Trainer(cfg, workdir)
+        trainer._preempted = True  # as the SIGTERM handler would set
+        trainer.fit(epochs=1)
+        assert int(jax.device_get(trainer.state.step)) == 1
+        assert trainer.ckpt.latest_step() == 1
+        # restart resumes from the preemption checkpoint
+        trainer2 = Trainer(cfg, workdir)
+        assert trainer2.resume_if_available()
+        assert int(jax.device_get(trainer2.state.step)) == 1
+
+
 class TestMetrics:
     def test_accumulator_breakdowns(self):
         acc = EvalAccumulator()
