@@ -49,5 +49,20 @@ def resize_uint8(img: np.ndarray, size: int) -> np.ndarray:
 
 
 def load_ingest_image(src: Union[str, Path, bytes], ingest_size: int) -> np.ndarray:
-    """decode → fixed-size uint8 RGB, ready for device_put."""
+    """decode → fixed-size uint8 RGB, ready for device_put.
+
+    DICOM goes through the native C++ fused decode+resize when available
+    (GIL-free, single pass — the streaming hot path [B:11]); everything
+    else / fallback uses the Python reference implementations.
+    """
+    if isinstance(src, (str, Path)):
+        path = Path(src)
+        if path.suffix.lower() in _DICOM_SUFFIXES:
+            src = path.read_bytes()
+    if isinstance(src, bytes) and _is_dicom_bytes(src):
+        from btia_tpu.data import native
+
+        out = native.dicom_decode_resize(src, ingest_size, ingest_size)
+        if out is not None:
+            return out
     return resize_uint8(decode_image(src), ingest_size)
