@@ -38,6 +38,17 @@ def main() -> None:
     args = ap.parse_args()
 
     import jax
+
+    # Persistent compilation cache: the ViT-L serving program takes ~7 min
+    # to compile via the remote-compile helper; cache it across runs.
+    try:
+        jax.config.update(
+            "jax_compilation_cache_dir", "/tmp/btia_jax_cache"
+        )
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+    except Exception:
+        pass
+
     import jax.numpy as jnp
 
     from btia_tpu.configs import get_config

@@ -109,6 +109,7 @@ class TrainConfig:
     checkpoint_dir: str = "checkpoints"
     keep_checkpoints: int = 3
     donate: bool = True
+    debug_nans: bool = False  # jax_debug_nans for numerics triage [SURVEY §5.2]
 
 
 @dataclasses.dataclass(frozen=True)

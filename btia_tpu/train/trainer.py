@@ -53,6 +53,8 @@ class Trainer:
         self.cfg = cfg
         self.workdir = Path(workdir)
         self.workdir.mkdir(parents=True, exist_ok=True)
+        if cfg.train.debug_nans:
+            jax.config.update("jax_debug_nans", True)
         self.data = data or build_data(cfg)
         self.model: BTIAADNet = build_model(cfg.model)
         self.mesh = make_mesh(MeshConfig(cfg.mesh.data, cfg.mesh.model))
