@@ -68,6 +68,14 @@ def dump_hlo(directory: str | Path) -> None:
         os.environ["XLA_FLAGS"] = f"{flags} --xla_dump_to={d}".strip()
 
 
+@contextlib.contextmanager
+def check_tracer_leaks() -> Iterator[None]:
+    """Leak/'sanitizer' analogue for JAX [SURVEY §5.2]: fail loudly if a
+    traced value escapes its trace (the functional-code race condition)."""
+    with jax.checking_leaks():
+        yield
+
+
 def memory_stats(device: Optional[jax.Device] = None) -> dict:
     d = device or jax.devices()[0]
     stats = getattr(d, "memory_stats", lambda: None)()
