@@ -30,7 +30,7 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--config", default="streaming_vitl")
     ap.add_argument("--batch", type=int, default=16, help="images per step")
-    ap.add_argument("--questions", type=int, default=64, help="questions/image")
+    ap.add_argument("--questions", type=int, default=128, help="questions/image")
     ap.add_argument("--steps", type=int, default=20)
     ap.add_argument("--warmup", type=int, default=3)
     ap.add_argument("--topk", type=int, default=5, help="answers fetched/question")

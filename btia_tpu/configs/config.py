@@ -59,6 +59,7 @@ class ModelConfig:
     # cuts fusion FLOPs ~7x at negligible accuracy cost.
     image_pool_grid: int = 0
     mixed_precision: bool = True
+    remat: bool = False  # rematerialize encoder/fusion blocks in backward
 
     @property
     def image_dim(self) -> int:

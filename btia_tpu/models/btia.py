@@ -95,6 +95,7 @@ class BTIA(nn.Module):
     mlp_ratio: float = 4.0
     policy: DTypePolicy = DTypePolicy()
     dropout: float = 0.0
+    remat: bool = False
 
     @nn.compact
     def __call__(
@@ -104,8 +105,11 @@ class BTIA(nn.Module):
         txt_mask: Optional[jax.Array] = None,
         deterministic: bool = True,
     ) -> Tuple[jax.Array, jax.Array]:
+        layer_cls = (
+            nn.remat(BTIALayer, static_argnums=(4,)) if self.remat else BTIALayer
+        )
         for i in range(self.num_layers):
-            img_feats, txt_feats = BTIALayer(
+            img_feats, txt_feats = layer_cls(
                 self.dim,
                 self.num_heads,
                 self.mlp_ratio,

@@ -42,7 +42,9 @@ class BTIAADNet(nn.Module):
         if cfg.image_encoder.startswith("resnet"):
             self.image_encoder = build_resnet(cfg.image_encoder, policy)
         else:
-            self.image_encoder = build_vit(cfg.image_encoder, policy, cfg.dropout)
+            self.image_encoder = build_vit(
+                cfg.image_encoder, policy, cfg.dropout, remat=cfg.remat
+            )
         if cfg.question_encoder == "lstm":
             self.question_encoder = LSTMQuestionEncoder(
                 vocab_size=cfg.question_vocab_size,
@@ -85,6 +87,7 @@ class BTIAADNet(nn.Module):
             mlp_ratio=cfg.mlp_ratio,
             policy=policy,
             dropout=cfg.dropout,
+            remat=cfg.remat,
         )
         if cfg.head == "ad":
             self.head = ADHead(

@@ -73,6 +73,7 @@ class ViT(nn.Module):
     spec: ViTSpec
     policy: DTypePolicy = DTypePolicy()
     dropout: float = 0.0
+    remat: bool = False  # jax.checkpoint per block: trade FLOPs for HBM
 
     @nn.compact
     def __call__(
@@ -110,8 +111,9 @@ class ViT(nn.Module):
             self.policy.param_dtype,
         )
         x = x + pos.astype(x.dtype)
+        block_cls = nn.remat(ViTBlock) if self.remat else ViTBlock
         for i in range(s.depth):
-            x = ViTBlock(
+            x = block_cls(
                 s.dim,
                 s.num_heads,
                 s.mlp_ratio,
@@ -122,5 +124,10 @@ class ViT(nn.Module):
         return LayerNorm(self.policy, name="ln_final")(x)
 
 
-def build_vit(name: str, policy: DTypePolicy = DTypePolicy(), dropout: float = 0.0) -> ViT:
-    return ViT(spec=VIT_SPECS[name], policy=policy, dropout=dropout)
+def build_vit(
+    name: str,
+    policy: DTypePolicy = DTypePolicy(),
+    dropout: float = 0.0,
+    remat: bool = False,
+) -> ViT:
+    return ViT(spec=VIT_SPECS[name], policy=policy, dropout=dropout, remat=remat)
