@@ -1,0 +1,96 @@
+"""Attention kernel microbenchmark: Pallas vs XLA across the framework's
+real shapes [SURVEY §4.2 'Perf' tier]. Informs the small-score-tile
+heuristic in ops/attention.py.
+
+    python benchmarks/attention_bench.py [--steps 10]
+
+Prints one JSON line per (site, impl).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import numpy as np
+
+# (site, B, H, Sq, Sk, Dh) — the attention shapes the models actually run.
+SHAPES = [
+    ("vit_l336_self", 8, 16, 577, 577, 64),
+    ("vit_b16_self", 16, 12, 197, 197, 64),
+    ("bert_self_fanout", 512, 12, 32, 32, 64),
+    ("btia_img2txt_pooled", 512, 12, 50, 32, 64),
+    ("ad_head_factorized", 512, 12, 256, 82, 64),
+]
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--steps", type=int, default=10)
+    ap.add_argument("--sites", default="")
+    args = ap.parse_args()
+
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/btia_jax_cache")
+    import jax.numpy as jnp
+
+    from btia_tpu.ops.attention import mha
+
+    rng = np.random.RandomState(0)
+    for site, B, H, Sq, Sk, D in SHAPES:
+        if args.sites and site not in args.sites:
+            continue
+        q = jnp.asarray(rng.randn(B, H, Sq, D), jnp.bfloat16)
+        k = jnp.asarray(rng.randn(B, H, Sk, D), jnp.bfloat16)
+        v = jnp.asarray(rng.randn(B, H, Sk, D), jnp.bfloat16)
+        flops = 4 * B * H * Sq * Sk * D
+        K = 20  # inner repeats amortize the ~35 ms per-launch tunnel overhead
+
+        impls = ["pallas", "xla"]
+        if Sq * Sk <= 4096:
+            impls.append("packed")
+        for impl in impls:
+            try:
+
+                def f_body(q, k, v, impl=impl):
+                    def body(i, acc):
+                        # data-dependent perturbation defeats CSE/hoisting
+                        qi = q + (i * 1e-6).astype(q.dtype)
+                        return acc + mha(qi, k, v, impl=impl).sum().astype(
+                            jnp.float32
+                        )
+
+                    return jax.lax.fori_loop(0, K, body, jnp.float32(0))
+
+                f = jax.jit(f_body)
+                float(f(q, k, v))  # compile + run
+                t0 = time.perf_counter()
+                for _ in range(args.steps):
+                    s = float(f(q, k, v))
+                dt = (time.perf_counter() - t0) / args.steps / K
+                print(
+                    json.dumps(
+                        {
+                            "site": site,
+                            "impl": impl,
+                            "ms": round(dt * 1000, 2),
+                            "tflops": round(flops / dt / 1e12, 1),
+                        }
+                    ),
+                    flush=True,
+                )
+            except Exception as e:  # noqa: BLE001
+                print(
+                    json.dumps({"site": site, "impl": impl, "error": str(e)[:120]}),
+                    flush=True,
+                )
+
+
+if __name__ == "__main__":
+    main()

@@ -223,6 +223,47 @@ _mha.defvjp(_mha_fwd, _mha_bwd)
 # Pallas kernel (XLA materializes/OOMs there).
 _SMALL_SCORE_TILE = 32_768  # Sq * Sk elements
 
+# Head-packing (one (H*Sq, H*Sk) block-diag-masked matmul per batch item)
+# was hypothesized to beat batched tiny matmuls, but measured SLOWER than
+# XLA's batched einsum on v5e (benchmarks/attention_bench.py: bert fanout
+# 4.0 ms vs 1.8 ms) — the H× extra FLOPs + score-tensor bandwidth outweigh
+# the MXU-tiling gain. Kept as an explicit impl='packed' option; never
+# auto-selected.
+_PACKED_SCORE_TILE = 0
+
+
+@functools.lru_cache(maxsize=32)
+def _head_block_bias(h: int, sq: int, sk: int):
+    """(H*Sq, H*Sk) additive bias: 0 on same-head blocks, -inf elsewhere."""
+    import numpy as np
+
+    eye = np.kron(np.eye(h, dtype=bool), np.ones((sq, sk), dtype=bool))
+    return jnp.asarray(np.where(eye, 0.0, _NEG_INF), dtype=jnp.float32)
+
+
+def _mha_packed(
+    q: jax.Array, k: jax.Array, v: jax.Array, kv_mask: Optional[jax.Array]
+) -> jax.Array:
+    """Head-packed attention for tiny sequences. Differentiable jnp."""
+    B, H, Sq, D = q.shape
+    Sk = k.shape[2]
+    scale = 1.0 / (D**0.5)
+    qp = q.reshape(B, H * Sq, D)
+    kp = k.reshape(B, H * Sk, D)
+    vp = v.reshape(B, H * Sk, D)
+    s = jnp.einsum("bqd,bkd->bqk", qp, kp, preferred_element_type=jnp.float32)
+    s = s * scale + _head_block_bias(H, Sq, Sk)[None]
+    if kv_mask is not None:
+        key_bias = jnp.where(
+            jnp.tile(kv_mask, (1, H)), 0.0, _NEG_INF
+        ).astype(jnp.float32)
+        s = s + key_bias[:, None, :]
+    p = jax.nn.softmax(s, axis=-1).astype(v.dtype)
+    out = jnp.einsum(
+        "bqk,bkd->bqd", p, vp, preferred_element_type=jnp.float32
+    )
+    return out.reshape(B, H, Sq, D).astype(q.dtype)
+
 
 def mha(
     q: jax.Array,
@@ -241,4 +282,6 @@ def mha(
         impl = _resolved_impl()
         if impl == "pallas" and q.shape[2] * k.shape[2] <= _SMALL_SCORE_TILE:
             impl = "xla"
+    if impl == "packed":
+        return _mha_packed(q, k, v, kv_mask)
     return _mha(q, k, v, kv_mask, impl == "pallas", interpret)

@@ -173,9 +173,6 @@ def bicross_attention(
         # fan-out sequences the per-(b,h) program grid is pure overhead.
         from btia_tpu.ops.attention import _SMALL_SCORE_TILE
 
-        if (
-            impl == "pallas"
-            and qi.shape[2] * qt.shape[2] <= _SMALL_SCORE_TILE
-        ):
+        if impl == "pallas" and qi.shape[2] * qt.shape[2] <= _SMALL_SCORE_TILE:
             impl = "xla"
     return _bicross(qi, ki, vi, qt, kt, vt, txt_mask, impl == "pallas", interpret)

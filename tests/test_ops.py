@@ -59,6 +59,14 @@ class TestMHA:
         for a, b in zip(gc, gr):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
 
+    def test_packed_impl_matches_reference(self, rng):
+        B, H, Sq, Sk, D = 2, 4, 7, 11, 16
+        q, k, v = _rand(rng, B, H, Sq, D), _rand(rng, B, H, Sk, D), _rand(rng, B, H, Sk, D)
+        mask = jnp.asarray(rng.rand(B, Sk) > 0.3)
+        ref = mha_reference(q, k, v, mask)
+        packed = mha(q, k, v, mask, impl="packed")
+        np.testing.assert_allclose(np.asarray(ref), np.asarray(packed), atol=1e-5)
+
     def test_fully_masked_rows_do_not_nan(self, rng):
         q, k, v = (_rand(rng, 1, 1, 4, 8) for _ in range(3))
         mask = jnp.zeros((1, 4), bool).at[:, 0].set(True)
