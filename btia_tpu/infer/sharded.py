@@ -1,0 +1,53 @@
+"""Multi-chip sharded serving [B:5 "≥5k pairs/sec/chip on v5e-8", B:11].
+
+Builds the jit'd serving program over a ('data', 'model') mesh:
+  * image batch + question fan-out sharded over 'data' (DP);
+  * ViT-L/BERT/BTIA/AD-head weights TP-sharded over 'model' via the
+    regex rules in parallel/sharding.py — XLA inserts the per-layer
+    all-reduces over ICI;
+  * per-chip throughput is then the single-chip number × data-axis size
+    (images never cross chips; only TP collectives do).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+import jax
+import numpy as np
+from jax.sharding import Mesh
+
+from btia_tpu.configs.config import Config
+from btia_tpu.models.model import BTIAADNet
+from btia_tpu.parallel.sharding import batch_sharding, param_shardings
+
+
+def shard_serving_params(variables: dict, mesh: Mesh) -> dict:
+    """Place params with TP sharding (model axis) and replicate stats."""
+    model_parallel = mesh.shape["model"] > 1
+    out = {}
+    for coll, tree in variables.items():
+        sh = param_shardings(tree, mesh, model_parallel and coll == "params")
+        out[coll] = jax.tree.map(jax.device_put, tree, sh)
+    return out
+
+
+def make_sharded_serve_fn(
+    model: BTIAADNet, mesh: Mesh, topk: int = 0
+) -> Callable:
+    """Returns serve(variables, images (B,H,W,3) u8, qids (B,Q,L)) jit'd
+    over the mesh. B must divide the 'data' axis. topk>0 → (vals, idxs)."""
+    b_sh = batch_sharding(mesh)
+
+    def serve(variables, images, qids):
+        images = jax.lax.with_sharding_constraint(images, b_sh)
+        qids = jax.lax.with_sharding_constraint(qids, b_sh)
+        img_tokens = model.apply(variables, images, method="encode_image")
+        logits = model.apply(
+            variables, img_tokens, qids, method="answer_questions"
+        )
+        if topk:
+            return jax.lax.top_k(logits, topk)
+        return logits
+
+    return jax.jit(serve)
