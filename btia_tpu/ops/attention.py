@@ -124,14 +124,21 @@ def _mha_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, *, scale):
     ).astype(o_ref.dtype)
 
 
+_BLOCK_Q = 256  # Q-dim tile: bounds the (block_q, Sk) score tile in VMEM
+
+
 def _mha_pallas(q, k, v, kv_mask, interpret: bool) -> jax.Array:
     B, H, Sq, D = q.shape
     Sk = k.shape[2]
     scale = 1.0 / (D**0.5)
 
     # Pad to the TPU tiling grid: lanes (last dim) to 128, sublanes to 8.
+    # Sequences here are short (≤640 for ViT-L/336), so K/V stay whole in
+    # VMEM (no online softmax needed); Q is tiled so the score tile stays
+    # small and all three grid dims are megacore-parallel.
     Dp = _round_up(D, 128)
-    Sqp = _round_up(Sq, 8)
+    block_q = min(_BLOCK_Q, _round_up(Sq, 8))
+    Sqp = _round_up(Sq, block_q)
     Skp = _round_up(Sk, 128)  # Sk is the lane dim of the score tile
 
     qp = jnp.pad(q, ((0, 0), (0, 0), (0, Sqp - Sq), (0, Dp - D)))
@@ -143,27 +150,38 @@ def _mha_pallas(q, k, v, kv_mask, interpret: bool) -> jax.Array:
     maskp = jnp.pad(kv_mask, ((0, 0), (0, Skp - Sk)))
     bias = jnp.where(maskp, 0.0, _NEG_INF).astype(jnp.float32)[:, None, :]
 
-    grid = (B, H)
+    grid = (B, H, Sqp // block_q)
     out = pl.pallas_call(
         functools.partial(_mha_kernel, scale=scale),
         out_shape=jax.ShapeDtypeStruct((B, H, Sqp, Dp), q.dtype),
         grid=grid,
         in_specs=[
             pl.BlockSpec(
-                (1, 1, Sqp, Dp), lambda b, h: (b, h, 0, 0), memory_space=pltpu.VMEM
+                (1, 1, block_q, Dp),
+                lambda b, h, i: (b, h, i, 0),
+                memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (1, 1, Skp, Dp), lambda b, h: (b, h, 0, 0), memory_space=pltpu.VMEM
+                (1, 1, Skp, Dp),
+                lambda b, h, i: (b, h, 0, 0),
+                memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (1, 1, Skp, Dp), lambda b, h: (b, h, 0, 0), memory_space=pltpu.VMEM
+                (1, 1, Skp, Dp),
+                lambda b, h, i: (b, h, 0, 0),
+                memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (1, 1, Skp), lambda b, h: (b, 0, 0), memory_space=pltpu.VMEM
+                (1, 1, Skp), lambda b, h, i: (b, 0, 0), memory_space=pltpu.VMEM
             ),
         ],
         out_specs=pl.BlockSpec(
-            (1, 1, Sqp, Dp), lambda b, h: (b, h, 0, 0), memory_space=pltpu.VMEM
+            (1, 1, block_q, Dp),
+            lambda b, h, i: (b, h, i, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel"),
         ),
         cost_estimate=pl.CostEstimate(
             flops=4 * B * H * Sqp * Skp * Dp,

@@ -107,6 +107,9 @@ def _bicross_pallas(qi, ki, vi, qt, kt, vt, txt_mask, interpret: bool):
             ),
         ],
         out_specs=(spec(Nip), spec(Ntp)),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel"),
+        ),
         cost_estimate=pl.CostEstimate(
             flops=8 * B * H * Nip * Ntp * Dp,
             bytes_accessed=2
