@@ -59,6 +59,26 @@ class TestMHA:
         for a, b in zip(gc, gr):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
 
+    def test_pallas_backward_kernel_matches_reference(self, rng):
+        """Fused dq/dk/dv kernel (interpret mode) vs autodiff of the XLA
+        reference [guide §7 backward pattern]."""
+        B, H, Sq, Sk, D = 2, 3, 9, 13, 16
+        q, k, v = _rand(rng, B, H, Sq, D), _rand(rng, B, H, Sk, D), _rand(rng, B, H, Sk, D)
+        mask = jnp.asarray(rng.rand(B, Sk) > 0.3)
+
+        gp = jax.grad(
+            lambda q, k, v: jnp.sum(
+                mha(q, k, v, mask, impl="pallas", interpret=True) ** 2
+            ),
+            argnums=(0, 1, 2),
+        )(q, k, v)
+        gr = jax.grad(
+            lambda q, k, v: jnp.sum(mha_reference(q, k, v, mask) ** 2),
+            argnums=(0, 1, 2),
+        )(q, k, v)
+        for a, b in zip(gp, gr):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
+
     def test_packed_impl_matches_reference(self, rng):
         B, H, Sq, Sk, D = 2, 4, 7, 11, 16
         q, k, v = _rand(rng, B, H, Sq, D), _rand(rng, B, H, Sk, D), _rand(rng, B, H, Sk, D)
