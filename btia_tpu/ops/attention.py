@@ -319,9 +319,17 @@ def _mha_fwd(q, k, v, kv_mask, use_pallas, interpret):
     return out, (q, k, v, kv_mask)
 
 
+# Measured on v5e at the ViT-L shape (8,16,577,64): the fused single-
+# program backward kernel runs ~190 ms vs ~<35 ms for the XLA-op backward
+# — five dependent f32 matmuls + exp in one program starve the pipeline
+# and press VMEM. The kernel is kept (tested in interpret + compiled on
+# TPU) as a tuning target; routing stays on the XLA backward.
+_USE_PALLAS_BWD = False
+
+
 def _mha_bwd(use_pallas, interpret, res, g):
     q, k, v, kv_mask = res
-    if use_pallas:
+    if use_pallas and _USE_PALLAS_BWD:
         dq, dk, dv = _mha_bwd_pallas(q, k, v, kv_mask, g, interpret)
         return dq, dk, dv, None
     scale = 1.0 / (q.shape[-1] ** 0.5)

@@ -66,16 +66,12 @@ class TestMHA:
         q, k, v = _rand(rng, B, H, Sq, D), _rand(rng, B, H, Sk, D), _rand(rng, B, H, Sk, D)
         mask = jnp.asarray(rng.rand(B, Sk) > 0.3)
 
-        gp = jax.grad(
-            lambda q, k, v: jnp.sum(
-                mha(q, k, v, mask, impl="pallas", interpret=True) ** 2
-            ),
-            argnums=(0, 1, 2),
-        )(q, k, v)
-        gr = jax.grad(
-            lambda q, k, v: jnp.sum(mha_reference(q, k, v, mask) ** 2),
-            argnums=(0, 1, 2),
-        )(q, k, v)
+        from btia_tpu.ops.attention import _mha_bwd_pallas
+
+        out, vjp = jax.vjp(lambda q, k, v: mha_reference(q, k, v, mask), q, k, v)
+        g = 2.0 * out  # cotangent of sum(out**2)
+        gr = vjp(g)
+        gp = _mha_bwd_pallas(q, k, v, mask, g, interpret=True)
         for a, b in zip(gp, gr):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
 
