@@ -12,7 +12,7 @@ Transforms:
     Conv    kernel (kh, kw, i, o) ← torch Conv2d weight (o, i, kh, kw)
     BatchNorm scale/bias          ← weight/bias;  batch_stats ← running_*
     LayerNorm scale/bias          ← weight/bias  (flax wrapper adds a
-                                    'LayerNorm_0' scope — dropped in torch)
+                                    wrapper stores scale/bias directly)
     Embed   embedding             ← Embedding weight
     everything else               ← same-named Parameter, same layout
 """

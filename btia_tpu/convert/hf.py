@@ -101,9 +101,9 @@ def vit_params_from_hf(state_dict: Mapping[str, Any]) -> Dict[str, Any]:
         elif key == "embeddings.patch_embeddings.projection.bias":
             _set(out, "patch_embed/bias", v)
         elif key == "layernorm.weight":
-            _set(out, "ln_final/LayerNorm_0/scale", v)
+            _set(out, "ln_final/scale", v)
         elif key == "layernorm.bias":
-            _set(out, "ln_final/LayerNorm_0/bias", v)
+            _set(out, "ln_final/bias", v)
         else:
             m = re.match(r"encoder\.layer\.(\d+)\.(.*)", key)
             if not m:
@@ -119,8 +119,8 @@ def vit_params_from_hf(state_dict: Mapping[str, Any]) -> Dict[str, Any]:
                 "output.dense": "mlp/fc2",
             }
             ln_table = {
-                "layernorm_before": "ln1/LayerNorm_0",
-                "layernorm_after": "ln2/LayerNorm_0",
+                "layernorm_before": "ln1",
+                "layernorm_after": "ln2",
             }
             mapped = False
             for hf, ours in table.items():

@@ -24,8 +24,8 @@ import flax.linen as nn
 import jax
 
 from btia_tpu.core.dtypes import DTypePolicy
-from btia_tpu.models.layers import LayerNorm, Mlp, merge_heads, split_heads
-from btia_tpu.ops.bicross import bicross_attention
+from btia_tpu.models.layers import LayerNorm, Mlp, heads_bshd
+from btia_tpu.ops.bicross import bicross_bshd
 
 
 class BTIALayer(nn.Module):
@@ -52,8 +52,10 @@ class BTIALayer(nn.Module):
         img_n = LayerNorm(self.policy, name="ln_img")(img)
         txt_n = LayerNorm(self.policy, name="ln_txt")(txt)
 
-        # Six projections feeding the ONE fused bidirectional kernel.
-        sh = lambda x: split_heads(x, self.num_heads)
+        # Six projections feeding the ONE fused bidirectional kernel
+        # (projection-native BSHD layout — no head-transpose copies on
+        # the short-sequence path).
+        sh = lambda x: heads_bshd(x, self.num_heads)
         qi = sh(dense("i2t", "q_proj")(img_n))  # img queries
         ki = sh(dense("t2i", "k_proj")(img_n))  # img keys (for txt←img)
         vi = sh(dense("t2i", "v_proj")(img_n))
@@ -61,11 +63,13 @@ class BTIALayer(nn.Module):
         kt = sh(dense("i2t", "k_proj")(txt_n))  # txt keys (for img←txt)
         vt = sh(dense("i2t", "v_proj")(txt_n))
 
-        out_i, out_t = bicross_attention(qi, ki, vi, qt, kt, vt, txt_mask)
+        out_i, out_t = bicross_bshd(qi, ki, vi, qt, kt, vt, txt_mask)
+        Bi, Ni = img.shape[:2]
+        Nt = txt.shape[1]
 
         drop = lambda x: nn.Dropout(self.dropout)(x, deterministic=deterministic)
-        img = img + drop(dense("i2t", "o_proj")(merge_heads(out_i)))
-        txt = txt + drop(dense("t2i", "o_proj")(merge_heads(out_t)))
+        img = img + drop(dense("i2t", "o_proj")(out_i.reshape(Bi, Ni, -1)))
+        txt = txt + drop(dense("t2i", "o_proj")(out_t.reshape(Bi, Nt, -1)))
 
         img = img + drop(
             Mlp(

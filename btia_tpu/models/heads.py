@@ -25,14 +25,8 @@ import jax
 import jax.numpy as jnp
 
 from btia_tpu.core.dtypes import DTypePolicy
-from btia_tpu.models.layers import (
-    LayerNorm,
-    Mlp,
-    masked_mean,
-    merge_heads,
-    split_heads,
-)
-from btia_tpu.ops.attention import mha
+from btia_tpu.models.layers import LayerNorm, Mlp, heads_bshd, masked_mean
+from btia_tpu.ops.attention import mha_bshd
 
 
 class ADHead(nn.Module):
@@ -69,10 +63,10 @@ class ADHead(nn.Module):
             param_dtype=self.policy.param_dtype,
         )
         kv = LayerNorm(self.policy, name="ln_kv")(tokens)
-        q = split_heads(dense("q_proj")(q_tokens), self.num_heads)
-        k = split_heads(dense("k_proj")(kv), self.num_heads)
-        v = split_heads(dense("v_proj")(kv), self.num_heads)
-        attended = merge_heads(mha(q, k, v, token_mask))
+        q = heads_bshd(dense("q_proj")(q_tokens), self.num_heads)
+        k = heads_bshd(dense("k_proj")(kv), self.num_heads)
+        v = heads_bshd(dense("v_proj")(kv), self.num_heads)
+        attended = mha_bshd(q, k, v, token_mask).reshape(B, K, self.dim)
         feats = q_tokens + dense("o_proj")(attended)
         feats = feats + Mlp(
             self.dim,

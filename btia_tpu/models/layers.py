@@ -15,7 +15,8 @@ import jax
 import jax.numpy as jnp
 
 from btia_tpu.core.dtypes import DTypePolicy
-from btia_tpu.ops.attention import mha
+from btia_tpu.ops.attention import mha, mha_bshd
+from btia_tpu.ops.norms import layernorm
 
 
 def split_heads(x: jax.Array, num_heads: int) -> jax.Array:
@@ -30,11 +31,18 @@ def merge_heads(x: jax.Array) -> jax.Array:
     return x.transpose(0, 2, 1, 3).reshape(B, S, H * Dh)
 
 
+def heads_bshd(x: jax.Array, num_heads: int) -> jax.Array:
+    """(B, S, D) → (B, S, H, D/H) — reshape only, no transpose copy."""
+    B, S, D = x.shape
+    return x.reshape(B, S, num_heads, D // num_heads)
+
+
 class MultiHeadAttention(nn.Module):
     """Self- or cross-attention over (B, S, D) token streams.
 
-    The softmax(QKᵀ)V core runs through ops.mha — the fused Pallas kernel on
-    TPU [B:5] — so every attention site in the framework shares one kernel.
+    The softmax(QKᵀ)V core runs through ops.mha_bshd: XLA einsum for
+    short sequences (no head-transpose copies), the fused Pallas kernel
+    for long ones [B:5].
     """
 
     dim: int
@@ -56,10 +64,11 @@ class MultiHeadAttention(nn.Module):
             dtype=self.policy.compute_dtype,
             param_dtype=self.policy.param_dtype,
         )
-        q = split_heads(dense("q_proj")(x_q), self.num_heads)
-        k = split_heads(dense("k_proj")(x_kv), self.num_heads)
-        v = split_heads(dense("v_proj")(x_kv), self.num_heads)
-        out = merge_heads(mha(q, k, v, kv_mask))
+        B, Sq, _ = x_q.shape
+        q = heads_bshd(dense("q_proj")(x_q), self.num_heads)
+        k = heads_bshd(dense("k_proj")(x_kv), self.num_heads)
+        v = heads_bshd(dense("v_proj")(x_kv), self.num_heads)
+        out = mha_bshd(q, k, v, kv_mask).reshape(B, Sq, -1)
         return nn.Dense(
             self.out_dim or self.dim,
             name="o_proj",
@@ -98,18 +107,25 @@ class Mlp(nn.Module):
 
 
 class LayerNorm(nn.Module):
-    """LayerNorm computed in float32 (accum dtype) then cast back."""
+    """LayerNorm: exact fp32 math under the fp32 policy (parity path),
+    MXU-statistics + bf16 elementwise under bf16 (ops/norms.py — the
+    convert_reduce fusions were ~30% of the serving step)."""
 
     policy: DTypePolicy = DTypePolicy()
     epsilon: float = 1e-6
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
-        return nn.LayerNorm(
-            epsilon=self.epsilon,
-            dtype=self.policy.accum_dtype,
-            param_dtype=self.policy.param_dtype,
-        )(x).astype(self.policy.compute_dtype)
+        scale = self.param(
+            "scale", nn.initializers.ones, (x.shape[-1],), self.policy.param_dtype
+        )
+        bias = self.param(
+            "bias", nn.initializers.zeros, (x.shape[-1],), self.policy.param_dtype
+        )
+        fast = self.policy.compute_dtype == jnp.bfloat16
+        return layernorm(x, scale, bias, self.epsilon, fast=fast).astype(
+            self.policy.compute_dtype
+        )
 
 
 def masked_mean(x: jax.Array, mask: Optional[jax.Array], axis: int = 1) -> jax.Array:

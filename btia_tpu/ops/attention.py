@@ -420,3 +420,39 @@ def mha(
     if impl == "packed":
         return _mha_packed(q, k, v, kv_mask)
     return _mha(q, k, v, kv_mask, impl == "pallas", interpret)
+
+
+def mha_bshd(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    kv_mask: Optional[jax.Array] = None,
+    interpret: bool = False,
+) -> jax.Array:
+    """Attention over (B, S, H, Dh) tensors — the projection-native layout.
+
+    Profiling showed the (B,S,H,D)→(B,H,S,D) transposes around attention
+    cost ~13% of the serving step as physical `copy` ops. For the XLA
+    (short-sequence) path the einsum below keeps H as an interior batch
+    dim and XLA folds the layout change into the matmul — no copies. The
+    Pallas (long-sequence) path still transposes: the kernel needs the
+    head-major layout, and at those sizes the copies are amortized.
+    """
+    Sq, Sk = q.shape[1], k.shape[1]
+    use_pallas = _resolved_impl() == "pallas" and Sq * Sk > _SMALL_SCORE_TILE
+    if use_pallas:
+        t = lambda x: x.transpose(0, 2, 1, 3)
+        return t(_mha(t(q), t(k), t(v), kv_mask, True, interpret))
+
+    scale = 1.0 / (q.shape[-1] ** 0.5)
+    scores = jnp.einsum(
+        "bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32
+    )
+    scores = scores * scale
+    if kv_mask is not None:
+        bias = jnp.where(kv_mask, 0.0, _NEG_INF).astype(jnp.float32)
+        scores = scores + bias[:, None, None, :]
+    probs = jax.nn.softmax(scores, axis=-1).astype(v.dtype)
+    return jnp.einsum(
+        "bhqk,bkhd->bqhd", probs, v, preferred_element_type=jnp.float32
+    ).astype(q.dtype)

@@ -179,3 +179,38 @@ def bicross_attention(
         if impl == "pallas" and qi.shape[2] * qt.shape[2] <= _SMALL_SCORE_TILE:
             impl = "xla"
     return _bicross(qi, ki, vi, qt, kt, vt, txt_mask, impl == "pallas", interpret)
+
+
+def bicross_bshd(
+    qi: jax.Array,
+    ki: jax.Array,
+    vi: jax.Array,
+    qt: jax.Array,
+    kt: jax.Array,
+    vt: jax.Array,
+    txt_mask: Optional[jax.Array] = None,
+    interpret: bool = False,
+) -> Tuple[jax.Array, jax.Array]:
+    """Bidirectional cross-attention over (B, S, H, Dh) tensors.
+
+    Transpose-free einsum path for small score tiles (the pooled fan-out
+    shapes, cf. ops.attention.mha_bshd); the fused Pallas kernel (which
+    needs head-major layout) for long sequences.
+    """
+    from btia_tpu.ops.attention import _SMALL_SCORE_TILE, _resolved_impl, mha_bshd
+
+    use_pallas = (
+        _resolved_impl() == "pallas"
+        and qi.shape[1] * qt.shape[1] > _SMALL_SCORE_TILE
+    )
+    if use_pallas:
+        t = lambda x: x.transpose(0, 2, 1, 3)
+        oi, ot = bicross_attention(
+            t(qi), t(ki), t(vi), t(qt), t(kt), t(vt), txt_mask,
+            impl="pallas", interpret=interpret,
+        )
+        return t(oi), t(ot)
+    return (
+        mha_bshd(qi, kt, vt, txt_mask, interpret=interpret),
+        mha_bshd(qt, ki, vi, None, interpret=interpret),
+    )
