@@ -132,11 +132,13 @@ def _mha_pallas(q, k, v, kv_mask, interpret: bool) -> jax.Array:
     Sk = k.shape[2]
     scale = 1.0 / (D**0.5)
 
-    # Pad to the TPU tiling grid: lanes (last dim) to 128, sublanes to 8.
-    # Sequences here are short (≤640 for ViT-L/336), so K/V stay whole in
-    # VMEM (no online softmax needed); Q is tiled so the score tile stays
-    # small and all three grid dims are megacore-parallel.
-    Dp = _round_up(D, 128)
+    # Pad the SEQ dims to the tiling grid; leave the head dim unpadded —
+    # Mosaic masks lanes inside VMEM tiles, while an HBM-materialized pad
+    # of Dh 64→128 doubled kernel IO (profiled as 'copy' ops, ~13% of the
+    # serving step). Sequences here are short (≤640 for ViT-L/336), so
+    # K/V stay whole in VMEM (no online softmax needed); Q is tiled so
+    # the score tile stays small and all grid dims are megacore-parallel.
+    Dp = D if D % 64 == 0 else _round_up(D, 128)
     block_q = min(_BLOCK_Q, _round_up(Sq, 8))
     Sqp = _round_up(Sq, block_q)
     Skp = _round_up(Sk, 128)  # Sk is the lane dim of the score tile

@@ -51,7 +51,9 @@ def _bicross_pallas(qi, ki, vi, qt, kt, vt, txt_mask, interpret: bool):
     Nt = qt.shape[2]
     scale = 1.0 / (D**0.5)
 
-    Dp = _round_up(D, 128)
+    # Head dim stays unpadded (Mosaic masks lanes in VMEM; HBM pads cost
+    # real bandwidth — see ops/attention.py).
+    Dp = D if D % 64 == 0 else _round_up(D, 128)
     Nip = _round_up(Ni, 128)  # image tokens are lanes in the txt←img tile
     Ntp = _round_up(Nt, 128)
 
