@@ -41,16 +41,44 @@ class TrainState(struct.PyTreeNode):
 def make_optimizer(cfg: Config, steps_per_epoch: int) -> optax.GradientTransformation:
     t = cfg.train
     total = max(steps_per_epoch * t.epochs, t.warmup_steps + 1)
-    schedule = optax.warmup_cosine_decay_schedule(
-        init_value=0.0,
-        peak_value=t.lr,
-        warmup_steps=t.warmup_steps,
-        decay_steps=total,
-        end_value=t.lr * 0.01,
-    )
+
+    def schedule(peak: float):
+        return optax.warmup_cosine_decay_schedule(
+            init_value=0.0,
+            peak_value=peak,
+            warmup_steps=t.warmup_steps,
+            decay_steps=total,
+            end_value=peak * 0.01,
+        )
+
+    clip = optax.clip_by_global_norm(t.grad_clip)
+    if t.encoder_lr_scale == 1.0:
+        return optax.chain(clip, optax.adamw(schedule(t.lr), weight_decay=t.weight_decay))
+
+    # Pretrained encoders fine-tune at a lower LR than the randomly
+    # initialized fusion/head [SURVEY §2.3 harness conventions].
+    def labels(params):
+        return {
+            k: jax.tree.map(
+                lambda _: "encoder"
+                if k in ("image_encoder", "question_encoder")
+                else "rest",
+                v,
+            )
+            for k, v in params.items()
+        }
+
     return optax.chain(
-        optax.clip_by_global_norm(t.grad_clip),
-        optax.adamw(schedule, weight_decay=t.weight_decay),
+        clip,
+        optax.multi_transform(
+            {
+                "encoder": optax.adamw(
+                    schedule(t.lr * t.encoder_lr_scale), weight_decay=t.weight_decay
+                ),
+                "rest": optax.adamw(schedule(t.lr), weight_decay=t.weight_decay),
+            },
+            labels,
+        ),
     )
 
 

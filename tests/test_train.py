@@ -60,6 +60,39 @@ class TestLoss:
         assert abs(float(masked) - float(subset)) < 1e-6
 
 
+class TestOptimizer:
+    def test_encoder_lr_scale_applied(self, tiny_cfg):
+        """Encoder params get scaled-LR updates [encoder_lr_scale]."""
+        import dataclasses
+
+        import jax.numpy as jnp
+        import optax
+
+        from btia_tpu.train.steps import make_optimizer
+
+        cfg = dataclasses.replace(
+            tiny_cfg,
+            train=dataclasses.replace(
+                tiny_cfg.train, encoder_lr_scale=0.1, warmup_steps=0,
+                grad_clip=1e9, weight_decay=0.0,
+            ),
+        )
+        tx = make_optimizer(cfg, steps_per_epoch=10)
+        params = {
+            "image_encoder": {"w": jnp.ones((4,))},
+            "question_encoder": {"w": jnp.ones((4,))},
+            "head": {"w": jnp.ones((4,))},
+        }
+        state = tx.init(params)
+        grads = jax.tree.map(jnp.ones_like, params)
+        # step a few times so adam's moments stabilize to unit updates
+        for _ in range(3):
+            updates, state = tx.update(grads, state, params)
+        enc = float(jnp.abs(updates["image_encoder"]["w"]).mean())
+        head = float(jnp.abs(updates["head"]["w"]).mean())
+        assert enc < head * 0.5, (enc, head)
+
+
 class TestTrainStep:
     def test_overfit_single_batch(self, tiny_run):
         cfg, _ = tiny_run
