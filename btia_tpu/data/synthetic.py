@@ -97,3 +97,93 @@ def generate_synthetic_dataset(
         "val": load_vqa_rad(root, "test"),
         "test": load_vqa_rad(root, "test"),
     }
+
+
+def _qa_for(i: int):
+    organ = _ORGANS[i % len(_ORGANS)]
+    modality = _MODALITIES[i % len(_MODALITIES)]
+    return organ, modality
+
+
+def generate_synthetic_slake(root: Path, num_images: int = 4, seed: int = 1):
+    """SLAKE on-disk format [B:8]: train/validate/test.json + imgs/."""
+    root = Path(root)
+    img_dir = root / "imgs"
+    img_dir.mkdir(parents=True, exist_ok=True)
+    rng = np.random.RandomState(seed)
+    names = []
+    for i in range(num_images):
+        name = f"xmlab{i}.jpg"
+        Image.fromarray(_make_image(rng)).save(img_dir / name, quality=90)
+        names.append(name)
+
+    def items(split_seed):
+        out = []
+        for i, name in enumerate(names):
+            organ, modality = _qa_for(i + split_seed)
+            out += [
+                {"img_name": name, "question": f"what organ is this",
+                 "answer": organ, "q_lang": "en", "answer_type": "OPEN",
+                 "content_type": "organ", "qid": i * 10 + split_seed},
+                {"img_name": name, "question": "这是什么器官",
+                 "answer": organ, "q_lang": "zh", "answer_type": "OPEN",
+                 "content_type": "organ", "qid": i * 10 + split_seed + 1},
+                {"img_name": name, "question": "is this an mri scan",
+                 "answer": "yes" if modality == "mri" else "no",
+                 "q_lang": "en", "answer_type": "CLOSED",
+                 "content_type": "modality", "qid": i * 10 + split_seed + 2},
+            ]
+        return out
+
+    (root / "train.json").write_text(json.dumps(items(0)))
+    (root / "validate.json").write_text(json.dumps(items(3)))
+    (root / "test.json").write_text(json.dumps(items(6)))
+    return root
+
+
+def generate_synthetic_pathvqa(root: Path, num_images: int = 4, seed: int = 2):
+    """PathVQA format [B:9]: {split}.json + images/."""
+    root = Path(root)
+    img_dir = root / "images"
+    img_dir.mkdir(parents=True, exist_ok=True)
+    rng = np.random.RandomState(seed)
+    for split in ("train", "val", "test"):
+        items = []
+        for i in range(num_images):
+            name = f"path_{split}_{i}"
+            Image.fromarray(_make_image(rng)).save(
+                img_dir / f"{name}.jpg", quality=90
+            )
+            organ, _ = _qa_for(i)
+            items += [
+                {"image": name, "question": "what tissue is shown",
+                 "answer": f"{organ} tissue"},
+                {"image": name, "question": "is there a tumor present",
+                 "answer": "yes" if i % 2 else "no"},
+            ]
+        (root / f"{split}.json").write_text(json.dumps(items))
+    return root
+
+
+def generate_synthetic_vqa_med(root: Path, num_images: int = 4, seed: int = 3):
+    """VQA-Med / ImageCLEF-2019 format [B:10]: QAPairsByCategory txts."""
+    root = Path(root)
+    for split in ("Train", "Val", "Test"):
+        split_dir = root / split
+        img_dir = split_dir / "images"
+        cat_dir = split_dir / "QAPairsByCategory"
+        img_dir.mkdir(parents=True, exist_ok=True)
+        cat_dir.mkdir(parents=True, exist_ok=True)
+        rng = np.random.RandomState(seed + hash(split) % 100)
+        c1, c3 = [], []
+        for i in range(num_images):
+            name = f"synpic{split.lower()}{i}"
+            Image.fromarray(_make_image(rng)).save(
+                img_dir / f"{name}.jpg", quality=90
+            )
+            organ, modality = _qa_for(i)
+            c1.append(f"{name}|what modality was used|{modality}")
+            c3.append(f"{name}|what organ is captured|{organ}")
+        (cat_dir / "C1_Modality.txt").write_text("\n".join(c1))
+        (cat_dir / "C3_Organ.txt").write_text("\n".join(c3))
+    return root
