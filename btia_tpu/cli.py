@@ -14,8 +14,11 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 from pathlib import Path
+
+import numpy as np
 
 
 def _parse_overrides(pairs):
@@ -103,6 +106,44 @@ def cmd_convert(args) -> None:
     print(f"converted {args.torch_ckpt} → {args.workdir}")
 
 
+def cmd_serve(args) -> None:
+    """Batch streaming inference over a directory of DICOM/JPEG images
+    [B:11]: each image is answered with the given questions."""
+    from btia_tpu.infer.predict import Predictor
+    from btia_tpu.infer.streaming import StreamingServer
+
+    p = Predictor.from_checkpoint(args.workdir, best=args.best)
+    exts = {".dcm", ".dicom", ".jpg", ".jpeg", ".png"}
+    images = sorted(
+        f for f in Path(args.image_dir).iterdir() if f.suffix.lower() in exts
+    )
+    if not images:
+        raise SystemExit(f"error: no images under {args.image_dir}")
+    questions = args.question
+    server = StreamingServer(
+        p,
+        image_batch=args.batch,
+        questions_per_image=max(len(questions), 1),
+        decode_threads=args.threads,
+    )
+    reqs = ((str(f), questions) for f in images)
+    for path, (logits, n) in zip(images, server.serve(reqs)):
+        answers = [
+            p.answer_vocab.decode(int(np.argmax(logits[i])))
+            for i in range(n)
+        ]
+        print(json.dumps({"image": path.name, "answers": answers}))
+    print(
+        json.dumps(
+            {
+                "pairs": server.pairs_processed,
+                "pairs_per_sec": round(server.pairs_per_second, 1),
+            }
+        ),
+        file=sys.stderr,
+    )
+
+
 def cmd_bench(args) -> None:
     import subprocess
 
@@ -143,12 +184,27 @@ def main(argv=None) -> None:
     p.add_argument("--set", action="append", metavar="key=value")
     p.set_defaults(fn=cmd_convert)
 
+    p = sub.add_parser("serve", help="stream a directory of images [B:11]")
+    p.add_argument("--workdir", required=True)
+    p.add_argument("--image-dir", required=True)
+    p.add_argument("--question", action="append", required=True)
+    p.add_argument("--batch", type=int, default=4)
+    p.add_argument("--threads", type=int, default=2)
+    p.add_argument("--best", action="store_true")
+    p.set_defaults(fn=cmd_serve)
+
     p = sub.add_parser("bench", help="run the headline benchmark")
     p.add_argument("--config", default=None)
     p.set_defaults(fn=cmd_bench)
 
     args = ap.parse_args(argv)
-    args.fn(args)
+    try:
+        args.fn(args)
+    except (KeyError, FileNotFoundError, ValueError) as e:
+        # Clean one-line errors at the CLI surface; tracebacks on demand.
+        if os.environ.get("BTIA_DEBUG"):
+            raise
+        raise SystemExit(f"error: {e}") from e
 
 
 if __name__ == "__main__":

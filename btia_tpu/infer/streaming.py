@@ -82,6 +82,7 @@ class StreamingServer:
         pending: List[Tuple[np.ndarray, np.ndarray, int]] = []
         in_flight: List[Tuple[jax.Array, List[int]]] = []
         t0 = time.perf_counter()
+        wall_base = self.wall_seconds
 
         def dispatch(items):
             imgs = np.stack([it[0] for it in items])
@@ -99,6 +100,9 @@ class StreamingServer:
                     if n < 0:  # tail-padding row, not a real request
                         continue
                     self.pairs_processed += n
+                    # Updated per yield: callers may abandon the generator
+                    # (zip with a shorter iterable) before the epilogue.
+                    self.wall_seconds = wall_base + time.perf_counter() - t0
                     yield host[i], n
 
         while done_workers < self.decode_threads:
@@ -117,7 +121,7 @@ class StreamingServer:
                 pending.append((pad[0], pad[1], -1))
             dispatch(pending)
         yield from drain(block_all=True)
-        self.wall_seconds += time.perf_counter() - t0
+        self.wall_seconds = wall_base + time.perf_counter() - t0
 
     @property
     def pairs_per_second(self) -> float:
