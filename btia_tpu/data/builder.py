@@ -54,6 +54,7 @@ class DataModule:
             shuffle=shuffle if shuffle else train_like,
             seed=seed,
             drop_last=train_like if drop_last is None else drop_last,
+            prefetch=max(self.cfg.data.num_workers, 1),
         )
 
     def steps(self, split: str, batch_size: Optional[int] = None) -> int:
