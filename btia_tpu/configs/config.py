@@ -277,7 +277,7 @@ def _streaming_vitl() -> Config:
             btia_layers=4,
             head="ad",
             answer_vocab_size=2048,
-            num_answer_queries=256,  # factorized head: 8x cheaper fan-out
+            num_answer_queries=64,  # factorized head; profiled sweet spot
             image_pool_grid=7,  # 577 → 50 fused tokens per question
         ),
         data=DataConfig(dataset="vqa_rad"),
