@@ -117,6 +117,37 @@ class TestBicross:
             assert bool(jnp.isfinite(g).all())
 
 
+class TestBshdLayout:
+    def test_mha_bshd_matches_bhsd(self, rng):
+        B, H, Sq, Sk, D = 2, 3, 9, 13, 16
+        q = jnp.asarray(rng.randn(B, Sq, H, D), jnp.float32)
+        k = jnp.asarray(rng.randn(B, Sk, H, D), jnp.float32)
+        v = jnp.asarray(rng.randn(B, Sk, H, D), jnp.float32)
+        mask = jnp.asarray(rng.rand(B, Sk) > 0.3)
+        from btia_tpu.ops.attention import mha_bshd
+
+        t = lambda x: x.transpose(0, 2, 1, 3)
+        ref = t(mha_reference(t(q), t(k), t(v), mask))
+        out = mha_bshd(q, k, v, mask)
+        np.testing.assert_allclose(np.asarray(ref), np.asarray(out), atol=1e-5)
+
+    def test_bicross_bshd_matches_reference(self, rng):
+        from btia_tpu.ops.bicross import bicross_bshd
+
+        B, H, Ni, Nt, D = 2, 2, 7, 5, 16
+        mk = lambda s: jnp.asarray(rng.randn(B, s, H, D), jnp.float32)
+        qi, ki, vi = mk(Ni), mk(Ni), mk(Ni)
+        qt, kt, vt = mk(Nt), mk(Nt), mk(Nt)
+        mask = jnp.asarray(rng.rand(B, Nt) > 0.3)
+        t = lambda x: x.transpose(0, 2, 1, 3)
+        ri, rt = bicross_reference(
+            t(qi), t(ki), t(vi), t(qt), t(kt), t(vt), mask
+        )
+        oi, ot = bicross_bshd(qi, ki, vi, qt, kt, vt, mask)
+        np.testing.assert_allclose(np.asarray(t(ri)), np.asarray(oi), atol=1e-5)
+        np.testing.assert_allclose(np.asarray(t(rt)), np.asarray(ot), atol=1e-5)
+
+
 class TestIngest:
     def test_resize_identity(self, rng):
         img = jnp.asarray(rng.randint(0, 255, (1, 16, 16, 3)), jnp.uint8)
