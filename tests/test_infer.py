@@ -79,6 +79,29 @@ class TestPredict:
 
 
 class TestStreaming:
+    def test_empty_stream(self, predictor):
+        p, _ = predictor
+        server = StreamingServer(p, image_batch=2, questions_per_image=2)
+        assert list(server.serve(iter([]))) == []
+        assert server.pairs_processed == 0
+
+    def test_excess_questions_truncated(self, predictor, rng):
+        p, dm = predictor
+        server = StreamingServer(p, image_batch=2, questions_per_image=2)
+        reqs = [(dm.train[0].image_path, ["a", "b", "c", "d"])]
+        [(logits, n)] = list(server.serve(iter(reqs)))
+        assert n == 2  # capped at questions_per_image
+        assert logits.shape[0] == 2
+
+    def test_abandoned_generator_keeps_sane_stats(self, predictor):
+        p, dm = predictor
+        server = StreamingServer(p, image_batch=1, questions_per_image=1)
+        reqs = [(s.image_path, ["q"]) for s in dm.train[:3]]
+        gen = server.serve(iter(reqs))
+        next(gen)  # consume one, abandon the rest
+        gen.close()
+        assert 0 < server.pairs_per_second < 1e6
+
     def test_serve_order_and_shapes(self, predictor, rng):
         p, dm = predictor
         server = StreamingServer(
