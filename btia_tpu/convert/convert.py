@@ -37,7 +37,9 @@ def _torch_key(path: Tuple[str, ...]) -> Tuple[str, str]:
     base = ".".join(parts[:-1])
     joined = "/".join(path)
     if joined in NAME_OVERRIDES:
-        return NAME_OVERRIDES[joined], "linear_kernel" if leaf == "kernel" else "direct"
+        # Overridden names still need the standard layout transform for
+        # their leaf kind (Linear/Conv transposes) — only the NAME changes.
+        return NAME_OVERRIDES[joined], "kernel" if leaf == "kernel" else "direct"
 
     if leaf == "kernel":
         return f"{base}.weight", "kernel"
@@ -121,11 +123,13 @@ def verify_parity(
     flax_variables,
     images_u8: np.ndarray,
     question_ids: np.ndarray,
-    atol: float = 1e-3,
+    atol: float = 2e-4,
 ) -> float:
     """Forward both models on identical probes; return max |Δlogit| and
-    assert it is within tolerance [SURVEY §3.4]. Run the flax side in fp32
-    (mixed_precision=False) — bf16 cannot meet logit-level tolerance."""
+    assert it is within tolerance [SURVEY §3.4: ~1e-4 fp32; measured <2e-4
+    across all three model families, so 2e-4 is the default gate]. Run the
+    flax side in fp32 (mixed_precision=False) — bf16 cannot meet
+    logit-level tolerance."""
     import torch
 
     t_logits = (

@@ -128,10 +128,15 @@ def make_iterator(
     _END = object()
 
     def worker():
+        # A mid-epoch failure (e.g. unreadable image) must surface in the
+        # consumer, not silently truncate the epoch — that would skew the
+        # steps-per-epoch accounting mid-epoch resume depends on.
         try:
             for b in batches():
                 q.put(b)
-        finally:
+        except BaseException as e:
+            q.put(e)
+        else:
             q.put(_END)
 
     t = threading.Thread(target=worker, daemon=True)
@@ -140,6 +145,8 @@ def make_iterator(
         item = q.get()
         if item is _END:
             break
+        if isinstance(item, BaseException):
+            raise item
         yield item
 
 

@@ -22,6 +22,13 @@ from btia_tpu.data.image import load_ingest_image
 from btia_tpu.infer.predict import ImageLike, Predictor
 
 
+class _DecodeError:
+    """Queue envelope for a per-request decode/tokenize failure."""
+
+    def __init__(self, exc: Exception):
+        self.exc = exc
+
+
 class StreamingServer:
     def __init__(
         self,
@@ -38,6 +45,9 @@ class StreamingServer:
         self.queue_depth = queue_depth
         self.pairs_processed = 0
         self.wall_seconds = 0.0
+        # Per-request decode/tokenize failures (the request is skipped, the
+        # server keeps running); inspect after serve() completes.
+        self.errors: List[Exception] = []
         self._fwd = predictor._fanout_forward(self.B, self.Q)
 
     def _decode_worker(
@@ -46,19 +56,31 @@ class StreamingServer:
         out_q: "queue.Queue",
         lock: threading.Lock,
     ) -> None:
-        while True:
-            with lock:
+        # The None sentinel MUST go out even if decode raises — otherwise a
+        # single malformed image kills the thread silently and serve() blocks
+        # forever on q.get(). Exceptions travel through the queue so the
+        # serving loop can surface them (skip the request, keep serving).
+        try:
+            while True:
+                with lock:
+                    try:
+                        item = next(src)
+                    except StopIteration:
+                        break
+                image, questions = item
                 try:
-                    item = next(src)
-                except StopIteration:
-                    break
-            image, questions = item
-            img = self.p._prep_image(image)
-            qids = np.zeros((self.Q, self.p.cfg.model.max_question_len), np.int32)
-            n = min(len(questions), self.Q)
-            qids[:n] = self.p._tokenize(list(questions)[:n])
-            out_q.put((img, qids, n))
-        out_q.put(None)
+                    img = self.p._prep_image(image)
+                    qids = np.zeros(
+                        (self.Q, self.p.cfg.model.max_question_len), np.int32
+                    )
+                    n = min(len(questions), self.Q)
+                    qids[:n] = self.p._tokenize(list(questions)[:n])
+                except Exception as e:  # bad request: report, keep serving
+                    out_q.put(_DecodeError(e))
+                    continue
+                out_q.put((img, qids, n))
+        finally:
+            out_q.put(None)
 
     def serve(
         self,
@@ -109,6 +131,9 @@ class StreamingServer:
             item = q.get()
             if item is None:
                 done_workers += 1
+                continue
+            if isinstance(item, _DecodeError):
+                self.errors.append(item.exc)
                 continue
             pending.append(item)
             if len(pending) == self.B:

@@ -196,9 +196,15 @@ def make_eval_step(
         qids = jax.lax.with_sharding_constraint(batch["question_ids"], b_sh)
         logits = model.apply(state.variables(), images, qids, train=False)
         # The head is statically sized to the config vocab; only the first
-        # len(answer_vocab) entries denote real answers.
-        preds = jnp.argmax(logits[..., :limit], -1)
-        correct = (preds == batch["answer_ids"]) & batch["valid"]
+        # len(answer_vocab) entries denote real answers. Index 0 is
+        # <unk>/out-of-vocab and never a real answer (vocab.py AnswerVocab),
+        # so it is excluded from the argmax, and ground-truth answers that
+        # encoded to 0 (OOV references) are scored incorrect — otherwise a
+        # model predicting <unk> on an OOV reference counts as a match and
+        # inflates open-ended accuracy.
+        preds = jnp.argmax(logits[..., 1:limit], -1) + 1
+        answerable = batch["answer_ids"] != 0
+        correct = (preds == batch["answer_ids"]) & answerable & batch["valid"]
         return {"preds": preds, "correct": correct}
 
     return jax.jit(step)

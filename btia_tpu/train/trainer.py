@@ -113,7 +113,12 @@ class Trainer:
                 n_items += len(batch)
                 if self._preempted:
                     self.ckpt.save(self.state)
-                    self.logger.log(split="preempt", step=start_step + i)
+                    # state.step is the ground truth; `i` restarts at 0 after
+                    # a mid-epoch resume while state.step does not.
+                    self.logger.log(
+                        split="preempt",
+                        step=int(jax.device_get(self.state.step)),
+                    )
                     return history
                 if (i + 1) % cfg.train.log_every == 0 or i == 0:
                     m = jax.device_get(m)

@@ -132,18 +132,27 @@ bool parse(const uint8_t* data, size_t len, Dicom* out) {
       else if (transfer_syntax == "1.2.840.10008.1.2.1") explicit_vr = true;
       else return false;  // compressed transfer syntax
     } else if (e.group == 0x0028) {
+      // US elements must carry ≥2 bytes; a lying header must not read OOB.
+      auto us = [&](int* dst) {
+        if (e.length >= 2) *dst = e.value[0] | (e.value[1] << 8);
+      };
       switch (e.elem) {
-        case 0x0002: out->samples = e.value[0] | (e.value[1] << 8); break;
+        case 0x0002: us(&out->samples); break;
         case 0x0004: {
           std::string pm(reinterpret_cast<const char*>(e.value), e.length);
           out->mono1 = pm.rfind("MONOCHROME1", 0) == 0;
           out->is_rgb = pm.rfind("RGB", 0) == 0;
           break;
         }
-        case 0x0010: out->rows = e.value[0] | (e.value[1] << 8); break;
-        case 0x0011: out->cols = e.value[0] | (e.value[1] << 8); break;
-        case 0x0100: out->bits = e.value[0] | (e.value[1] << 8); break;
-        case 0x0103: out->is_signed = (e.value[0] | (e.value[1] << 8)) == 1; break;
+        case 0x0010: us(&out->rows); break;
+        case 0x0011: us(&out->cols); break;
+        case 0x0100: us(&out->bits); break;
+        case 0x0103: {
+          int pr = 0;
+          us(&pr);
+          out->is_signed = pr == 1;
+          break;
+        }
         case 0x1050: out->wc = first_float(e, NAN); break;
         case 0x1051: out->ww = first_float(e, NAN); break;
         case 0x1052: out->intercept = first_float(e, 0.0); break;
@@ -155,7 +164,16 @@ bool parse(const uint8_t* data, size_t len, Dicom* out) {
       break;
     }
   }
-  return out->pixels != nullptr && out->rows > 0 && out->cols > 0;
+  if (out->pixels == nullptr || out->rows <= 0 || out->cols <= 0) return false;
+  // Reject truncated/header-lying PixelData: fetch_px indexes up to
+  // rows*cols*samples pixels, so the buffer must actually hold them
+  // (matches the Python path, where np.frombuffer(count=) raises).
+  if (out->bits != 8 && out->bits != 16) return false;
+  if (out->samples != 1 && out->samples != 3) return false;
+  uint64_t need = static_cast<uint64_t>(out->rows) * out->cols * out->samples *
+                  (out->bits == 8 ? 1 : 2);
+  if (static_cast<uint64_t>(out->pixel_len) < need) return false;
+  return true;
 }
 
 inline float fetch_px(const Dicom& d, int idx) {

@@ -86,6 +86,50 @@ class TestParity:
         err = _roundtrip(cfg, rng)
         assert err < 2e-4
 
+    def test_name_overrides_rehearsal(self, rng, monkeypatch):
+        """Drop-in rehearsal for the real reference checkpoint [B:5]: rename
+        state_dict keys (simulating the unknown reference naming), absorb
+        the renames via NAME_OVERRIDES, and require full logit parity —
+        including the layout transpose on an overridden kernel."""
+        from flax.traverse_util import flatten_dict
+
+        from btia_tpu.convert import convert as C
+
+        torch_model = build_torch_model(TINY_LSTM, seed=0)
+        flax_model = build_model(TINY_LSTM)
+        images, qids = _probes(rng, TINY_LSTM)
+        key = jax.random.PRNGKey(0)
+        template = flax_model.init({"params": key, "dropout": key}, images, qids)
+        sd = {k: v.detach().clone() for k, v in torch_model.state_dict().items()}
+
+        # Pick one Linear kernel and one Conv kernel from the flax tree and
+        # pretend the reference names them differently.
+        overrides = {}
+        picked = {"linear": False, "conv": False}
+        for path, leaf in flatten_dict(template["params"]).items():
+            default_key, kind = C._torch_key(path)
+            if kind != "kernel" or default_key not in sd:
+                continue
+            ndim = sd[default_key].ndim
+            tag = "linear" if ndim == 2 else "conv" if ndim == 4 else None
+            if tag and not picked[tag]:
+                legacy = f"legacy.{tag}.weird_weight_name"
+                sd[legacy] = sd.pop(default_key)
+                overrides["/".join(path)] = legacy
+                picked[tag] = True
+            if all(picked.values()):
+                break
+        assert all(picked.values()), "expected both a Linear and a Conv kernel"
+
+        # Without the overrides the converter must fail loudly...
+        with pytest.raises(KeyError):
+            C.convert_state_dict(sd, template)
+        # ...and with them, pass the full parity gate.
+        monkeypatch.setattr(C, "NAME_OVERRIDES", overrides)
+        variables = C.convert_state_dict(sd, template)
+        err = verify_parity(torch_model, flax_model, variables, images, qids)
+        assert err < 2e-4
+
     def test_shape_mismatch_raises(self, rng):
         torch_model = build_torch_model(TINY_LSTM, seed=0)
         flax_model = build_model(

@@ -173,6 +173,26 @@ class TestPipeline:
         ]
         assert mk() == mk()
 
+    def test_prefetch_propagates_worker_errors(self, synth_root):
+        """A mid-epoch failure must raise in the consumer, not silently
+        truncate the epoch (ADVICE low: data/pipeline.py)."""
+        import dataclasses as dc
+
+        splits = generate_synthetic_dataset(synth_root / "pipeerr")
+        samples = splits["train"][:4]
+        vocab = WordVocab.build([s.question for s in samples])
+        avocab = AnswerVocab.build([s.answer for s in samples])
+        cache = ImageCache(32)
+        # Batch 2 references a missing image → decode raises in the worker.
+        samples = samples[:2] + [
+            dc.replace(samples[2], image_path="/nonexistent/x.jpg"),
+            samples[3],
+        ]
+        it = make_iterator(samples, vocab, avocab, cache, 2, 8, prefetch=2)
+        next(it)  # first batch is fine
+        with pytest.raises(Exception):
+            list(it)
+
     def test_prefetch_thread_matches_sync(self, synth_root):
         splits = generate_synthetic_dataset(synth_root / "pipe3")
         samples = splits["train"][:4]

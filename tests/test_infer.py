@@ -102,6 +102,23 @@ class TestStreaming:
         gen.close()
         assert 0 < server.pairs_per_second < 1e6
 
+    def test_bad_request_skipped_not_deadlocked(self, predictor):
+        """A malformed image must not kill the decode thread without its
+        sentinel (which would deadlock serve) — it is skipped and recorded
+        (ADVICE medium: infer/streaming.py)."""
+        p, dm = predictor
+        server = StreamingServer(p, image_batch=2, questions_per_image=2)
+        good = dm.train[0].image_path
+        reqs = [
+            (good, ["q one"]),
+            ("/nonexistent/broken.dcm", ["q two"]),
+            (good, ["q three"]),
+        ]
+        results = list(server.serve(iter(reqs)))
+        assert len(results) == 2  # bad request skipped
+        assert len(server.errors) == 1
+        assert server.pairs_processed == 2
+
     def test_serve_order_and_shapes(self, predictor, rng):
         p, dm = predictor
         server = StreamingServer(

@@ -58,6 +58,44 @@ class TestNativeDicom:
     def test_compressed_rejected(self):
         assert native.dicom_decode_resize(b"\x00" * 200, 8, 8) is None
 
+    def _patch_us(self, blob: bytes, group: int, elem: int, value: int) -> bytes:
+        import struct
+
+        marker = struct.pack("<HH", group, elem) + b"US" + struct.pack("<H", 2)
+        i = blob.index(marker)
+        j = i + len(marker)
+        return blob[:j] + struct.pack("<H", value) + blob[j + 2 :]
+
+    def test_truncated_pixeldata_rejected(self, rng):
+        """Header lies about Rows → PixelData too short → must error, not
+        read out of bounds (ADVICE high: native/btia_ingest.cc)."""
+        px = (rng.rand(8, 8) * 255).astype(np.uint8)
+        blob = write_dicom(None, px)
+        lying = self._patch_us(blob, 0x0028, 0x0010, 4096)
+        assert native.dicom_decode_resize(lying, 8, 8) is None
+        # Python path must also refuse (np.frombuffer count check).
+        with pytest.raises(ValueError):
+            read_dicom(lying)
+
+    def test_unsupported_bits_rejected(self, rng):
+        px = (rng.rand(8, 8) * 255).astype(np.uint8)
+        blob = self._patch_us(write_dicom(None, px), 0x0028, 0x0100, 32)
+        assert native.dicom_decode_resize(blob, 8, 8) is None
+
+    def test_short_us_element_no_oob(self, rng):
+        """A US element claiming length 0 must not be read (OOB guard)."""
+        import struct
+
+        px = (rng.rand(8, 8) * 255).astype(np.uint8)
+        blob = write_dicom(None, px)
+        marker = struct.pack("<HH", 0x0028, 0x0103) + b"US" + struct.pack("<H", 2)
+        i = blob.index(marker)
+        # Rewrite PixelRepresentation as zero-length: drop its 2 value bytes.
+        zl = struct.pack("<HH", 0x0028, 0x0103) + b"US" + struct.pack("<H", 0)
+        blob2 = blob[:i] + zl + blob[i + len(marker) + 2 :]
+        out = native.dicom_decode_resize(blob2, 8, 8)
+        assert out is not None  # defaults to unsigned, decodes fine
+
 
 class TestNativeResize:
     def test_matches_matrix_resize(self, rng):

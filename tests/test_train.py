@@ -111,6 +111,40 @@ class TestTrainStep:
         assert np.isfinite(losses).all()
 
 
+class TestEvalStep:
+    def test_unk_excluded_from_argmax(self, tiny_cfg):
+        """Index 0 (<unk>) is never a valid prediction, and OOV references
+        (answer_ids==0) are scored incorrect — otherwise a model predicting
+        <unk> on an OOV reference inflates accuracy (ADVICE medium)."""
+        import jax.numpy as jnp
+
+        from btia_tpu.train.steps import make_eval_step
+
+        class FakeModel:
+            def apply(self, variables, images, qids, train):
+                # <unk> has the largest logit; best real answer is index 2.
+                row = jnp.asarray([10.0, 1.0, 5.0, 0.0])
+                return jnp.tile(row, (images.shape[0], 1))
+
+        from flax import struct
+
+        class FakeState(struct.PyTreeNode):
+            def variables(self):
+                return {}
+
+        mesh = make_mesh(MeshConfig(data=-1, model=1))
+        step = make_eval_step(FakeModel(), tiny_cfg, mesh, vocab_size=4)
+        batch = {
+            "images": np.zeros((2, 8, 8, 3), np.uint8),
+            "question_ids": np.zeros((2, 4), np.int32),
+            "answer_ids": np.asarray([0, 2], np.int32),
+            "valid": np.asarray([True, True]),
+        }
+        out = jax.device_get(step(FakeState(), batch))
+        assert out["preds"].tolist() == [2, 2]  # never 0
+        assert out["correct"].tolist() == [False, True]
+
+
 class TestTrainer:
     def test_fit_eval_checkpoint_resume(self, tiny_run, tmp_path):
         cfg, _ = tiny_run
