@@ -67,7 +67,10 @@ def cmd_predict(args) -> None:
     questions = args.question
     logits = p.predict_batch(args.image, questions)
     for q, l_ in zip(questions, logits):
-        top = l_.argsort()[-3:][::-1]
+        # Index 0 is <unk> (never a real answer) and indices past the built
+        # vocab are static-head padding — exclude both from the top-k.
+        limit = min(len(p.answer_vocab), l_.shape[-1])
+        top = 1 + l_[1:limit].argsort()[-3:][::-1]
         answers = [
             {"answer": p.answer_vocab.decode(int(i)), "logit": float(l_[i])}
             for i in top

@@ -139,7 +139,9 @@ class Predictor:
 
     def predict_answer(self, image: ImageLike, question: str) -> str:
         logits = self.predict(image, question)
-        return self.answer_vocab.decode(int(np.argmax(logits)))
+        # Skip index 0 (<unk>) and static-head padding past the built vocab.
+        limit = min(len(self.answer_vocab), logits.shape[-1])
+        return self.answer_vocab.decode(1 + int(np.argmax(logits[1:limit])))
 
 
 def predict(

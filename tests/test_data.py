@@ -101,6 +101,125 @@ class TestDicom:
         assert out.shape == (8, 8, 3)
 
 
+class TestCompressedDicom:
+    """Encapsulated transfer syntaxes + multi-frame [VERDICT r1 item 4]."""
+
+    def test_jpeg_baseline(self, rng):
+        from btia_tpu.data.dicom import JPEG_BASELINE
+
+        px = (rng.rand(32, 32) * 255).astype(np.uint8)
+        blob = write_dicom(None, px, transfer_syntax=JPEG_BASELINE)
+        img = read_dicom(blob)
+        assert img.pixels.shape == (32, 32)
+        # lossy at q95: close but not exact
+        assert np.mean(np.abs(img.pixels.astype(int) - px.astype(int))) < 6
+
+    def test_jpeg_baseline_rgb(self, rng):
+        from btia_tpu.data.dicom import JPEG_BASELINE
+
+        px = (rng.rand(16, 16, 3) * 255).astype(np.uint8)
+        blob = write_dicom(None, px, transfer_syntax=JPEG_BASELINE)
+        img = read_dicom(blob)
+        assert img.pixels.shape == (16, 16, 3)
+        assert img.to_rgb_uint8().shape == (16, 16, 3)
+
+    def test_jpeg2000_lossless_uint16(self, rng):
+        from btia_tpu.data.dicom import JPEG2000_LOSSLESS
+
+        px = (rng.rand(24, 24) * 4000).astype(np.uint16)
+        blob = write_dicom(
+            None, px, transfer_syntax=JPEG2000_LOSSLESS, window=(2000.0, 4000.0)
+        )
+        img = read_dicom(blob)
+        np.testing.assert_array_equal(img.pixels, px)
+        assert img.window_center == 2000.0
+
+    def test_rle_uint16(self, rng):
+        from btia_tpu.data.dicom import RLE_LOSSLESS
+
+        px = (rng.rand(20, 28) * 4000).astype(np.uint16)
+        px[:5] = 1234  # exercise replicate runs
+        blob = write_dicom(None, px, transfer_syntax=RLE_LOSSLESS)
+        img = read_dicom(blob)
+        np.testing.assert_array_equal(img.pixels, px)
+
+    def test_rle_rgb(self, rng):
+        from btia_tpu.data.dicom import RLE_LOSSLESS
+
+        px = (rng.rand(12, 12, 3) * 255).astype(np.uint8)
+        blob = write_dicom(None, px, transfer_syntax=RLE_LOSSLESS)
+        img = read_dicom(blob)
+        np.testing.assert_array_equal(img.pixels, px)
+
+    def test_deflated(self, rng):
+        from btia_tpu.data.dicom import DEFLATED_EXPLICIT_VR_LE
+
+        px = (rng.rand(16, 16) * 4000).astype(np.uint16)
+        blob = write_dicom(None, px, transfer_syntax=DEFLATED_EXPLICIT_VR_LE)
+        img = read_dicom(blob)
+        np.testing.assert_array_equal(img.pixels, px)
+
+    def test_multiframe_uncompressed(self, rng):
+        frames = (rng.rand(3, 10, 12) * 4000).astype(np.uint16)
+        blob = write_dicom(None, frames, multiframe=True)
+        for f in range(3):
+            img = read_dicom(blob, frame=f)
+            assert img.num_frames == 3
+            np.testing.assert_array_equal(img.pixels, frames[f])
+        with pytest.raises(ValueError):
+            read_dicom(blob, frame=3)
+
+    def test_multiframe_rle(self, rng):
+        from btia_tpu.data.dicom import RLE_LOSSLESS
+
+        frames = (rng.rand(2, 8, 8) * 255).astype(np.uint8)
+        blob = write_dicom(
+            None, frames, multiframe=True, transfer_syntax=RLE_LOSSLESS
+        )
+        for f in range(2):
+            np.testing.assert_array_equal(
+                read_dicom(blob, frame=f).pixels, frames[f]
+            )
+
+    def test_unsupported_syntax_clear_error(self, rng):
+        px = (rng.rand(8, 8) * 255).astype(np.uint8)
+        blob = write_dicom(None, px)
+        # Patch the transfer syntax UID to JPEG-LS (unsupported).
+        blob = blob.replace(b"1.2.840.10008.1.2.1\x00", b"1.2.840.10008.1.2.4.80")
+        with pytest.raises(ValueError, match="transfer syntax"):
+            read_dicom(blob)
+
+    def test_fuzz_truncation_raises_cleanly(self, rng):
+        """Every truncation of a valid file must raise ValueError, never
+        crash with struct.error/IndexError (decode-thread safety)."""
+        from btia_tpu.data.dicom import RLE_LOSSLESS
+
+        for ts in (None, RLE_LOSSLESS):
+            px = (rng.rand(8, 8) * 4000).astype(np.uint16)
+            kw = {"transfer_syntax": ts} if ts else {}
+            blob = write_dicom(None, px, **kw)
+            for cut in range(133, len(blob) - 1, 7):
+                try:
+                    read_dicom(blob[:cut])
+                except ValueError:
+                    pass  # the only acceptable failure mode
+
+    def test_fuzz_random_corruption_raises_cleanly(self, rng):
+        from btia_tpu.data.dicom import RLE_LOSSLESS
+
+        px = (rng.rand(8, 8) * 255).astype(np.uint8)
+        blob = bytearray(write_dicom(None, px, transfer_syntax=RLE_LOSSLESS))
+        for trial in range(200):
+            b = bytearray(blob)
+            for _ in range(3):
+                pos = int(rng.randint(132, len(b)))
+                b[pos] = int(rng.randint(0, 256))
+            try:
+                read_dicom(bytes(b))
+            except ValueError:
+                pass
+
+
 class TestLoaders:
     def test_synthetic_vqa_rad(self, synth_root):
         splits = generate_synthetic_dataset(synth_root / "rad")

@@ -119,6 +119,24 @@ class TestStreaming:
         assert len(server.errors) == 1
         assert server.pairs_processed == 2
 
+    def test_corrupt_dicom_survived(self, predictor, tmp_path, rng):
+        """A truncated DICOM raises in the decode thread; the server skips
+        it and keeps serving [VERDICT r1 item 4]."""
+        from btia_tpu.data.dicom import write_dicom
+
+        p, dm = predictor
+        px = (rng.rand(32, 32) * 4000).astype(np.uint16)
+        blob = write_dicom(None, px)
+        corrupt = tmp_path / "corrupt.dcm"
+        corrupt.write_bytes(blob[: len(blob) // 2])
+        server = StreamingServer(p, image_batch=2, questions_per_image=2)
+        good = dm.train[0].image_path
+        results = list(
+            server.serve(iter([(good, ["q"]), (str(corrupt), ["q"]), (good, ["q"])]))
+        )
+        assert len(results) == 2
+        assert len(server.errors) == 1
+
     def test_serve_order_and_shapes(self, predictor, rng):
         p, dm = predictor
         server = StreamingServer(
