@@ -60,6 +60,11 @@ class ModelConfig:
     image_pool_grid: int = 0
     mixed_precision: bool = True
     remat: bool = False  # rematerialize encoder/fusion blocks in backward
+    # Serve FFN matmuls via the fused-epilogue int8 Pallas kernel
+    # (ops/quant.py): dynamic per-token activation quant in VMEM,
+    # int8×int8→int32 MXU dot at 2× the bf16 rate. Inference-only —
+    # training/backward and the fp32 parity path keep plain matmuls.
+    int8_ffn: bool = False
 
     @property
     def image_dim(self) -> int:
@@ -111,6 +116,12 @@ class TrainConfig:
     keep_checkpoints: int = 3
     donate: bool = True
     debug_nans: bool = False  # jax_debug_nans for numerics triage [SURVEY §5.2]
+    # Run this many optimizer steps per compiled program (lax.scan over a
+    # stacked batch chunk). >1 keeps TrainState resident on device across
+    # the chunk — one launch and one metrics fetch per K steps instead of
+    # per step — which matters on dispatch-cost-heavy links (the axon
+    # tunnel pays per output buffer; multi-host runs pay per dispatch).
+    steps_per_call: int = 1
 
 
 @dataclasses.dataclass(frozen=True)

@@ -21,11 +21,15 @@ class DTypePolicy:
     compute_dtype: dtype activations/matmuls run in (bf16 to hit the MXU
                    at full rate).
     accum_dtype:   dtype for softmax/log-sum-exp/variance accumulation.
+    int8:          serve FFN matmuls through the fused-epilogue int8 Pallas
+                   kernel (ops/quant.py) — inference only; training and the
+                   fp32 parity path always run the plain matmul.
     """
 
     param_dtype: jnp.dtype = jnp.float32
     compute_dtype: jnp.dtype = jnp.bfloat16
     accum_dtype: jnp.dtype = jnp.float32
+    int8: bool = False
 
     def cast(self, x):
         return x.astype(self.compute_dtype)

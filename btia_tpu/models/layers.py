@@ -77,8 +77,54 @@ class MultiHeadAttention(nn.Module):
         )(out)
 
 
+class QuantizableDense(nn.Module):
+    """Dense whose param tree matches nn.Dense ({kernel, bias}) but which
+    can route through the fused-epilogue int8 Pallas matmul (ops/quant.py)
+    at serving time. The fp path reproduces nn.Dense exactly (parity)."""
+
+    features: int
+    policy: DTypePolicy = DTypePolicy()
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jax.Array,
+        int8: bool = False,
+        act: Optional[Callable] = None,
+    ) -> jax.Array:
+        kernel = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (x.shape[-1], self.features),
+            self.policy.param_dtype,
+        )
+        bias = self.param(
+            "bias", nn.initializers.zeros_init(), (self.features,),
+            self.policy.param_dtype,
+        )
+        cd = self.policy.compute_dtype
+        if int8:
+            from btia_tpu.ops.quant import int8_matmul_fused, quantize_weight
+
+            w_i8, w_scale = quantize_weight(kernel)
+            y = int8_matmul_fused(
+                x.reshape(-1, x.shape[-1]).astype(cd),
+                w_i8,
+                w_scale,
+                bias.astype(jnp.float32),
+                act=act,
+                out_dtype=cd,
+            )
+            return y.reshape(*x.shape[:-1], self.features)
+        y = jnp.dot(x.astype(cd), kernel.astype(cd)) + bias.astype(cd)
+        return act(y) if act is not None else y
+
+
 class Mlp(nn.Module):
-    """Transformer MLP: fc1 → act → fc2 (column/row TP-shardable)."""
+    """Transformer MLP: fc1 → act → fc2 (column/row TP-shardable).
+
+    Under policy.int8 (serving only, deterministic), both matmuls run
+    through the fused int8 kernel with the GELU fused into fc1's epilogue."""
 
     dim: int
     hidden_dim: int
@@ -90,20 +136,17 @@ class Mlp(nn.Module):
 
     @nn.compact
     def __call__(self, x: jax.Array, deterministic: bool = True) -> jax.Array:
-        x = nn.Dense(
-            self.hidden_dim,
-            name="fc1",
-            dtype=self.policy.compute_dtype,
-            param_dtype=self.policy.param_dtype,
-        )(x)
-        x = self.act(x)
+        fc1 = QuantizableDense(self.hidden_dim, self.policy, name="fc1")
+        fc2 = QuantizableDense(self.dim, self.policy, name="fc2")
+        if self.policy.int8 and deterministic:
+            # tanh-approx GELU in the kernel epilogue: Mosaic has no erf
+            # lowering, and the ~1e-3 tanh-vs-erf difference is far below
+            # the int8 PTQ noise this path already accepts.
+            act = functools.partial(nn.gelu, approximate=True)
+            return fc2(fc1(x, int8=True, act=act), int8=True)
+        x = self.act(fc1(x))
         x = nn.Dropout(self.dropout)(x, deterministic=deterministic)
-        return nn.Dense(
-            self.dim,
-            name="fc2",
-            dtype=self.policy.compute_dtype,
-            param_dtype=self.policy.param_dtype,
-        )(x)
+        return fc2(x)
 
 
 class LayerNorm(nn.Module):

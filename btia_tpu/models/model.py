@@ -35,7 +35,12 @@ class BTIAADNet(nn.Module):
 
     @property
     def policy(self) -> DTypePolicy:
-        return default_policy(self.cfg.mixed_precision)
+        import dataclasses
+
+        p = default_policy(self.cfg.mixed_precision)
+        if self.cfg.int8_ffn and self.cfg.mixed_precision:
+            p = dataclasses.replace(p, int8=True)
+        return p
 
     def setup(self):
         cfg, policy = self.cfg, self.policy

@@ -199,112 +199,6 @@ def _mha_pallas(q, k, v, kv_mask, interpret: bool) -> jax.Array:
 
 
 # ---------------------------------------------------------------------------
-# Fused backward kernel (dq, dk, dv in one pallas_call per (batch, head))
-# ---------------------------------------------------------------------------
-
-
-def _mha_bwd_kernel(q_ref, k_ref, v_ref, bias_ref, g_ref, dq_ref, dk_ref, dv_ref, *, scale):
-    """Recompute-p backward, all tiles VMEM-resident [guide §7].
-
-    p  = softmax(q kᵀ · scale + bias)
-    dv = pᵀ g
-    dp = g vᵀ
-    ds = p ⊙ (dp − rowsum(dp ⊙ p))
-    dq = ds k · scale ;  dk = dsᵀ q · scale
-    """
-    q = q_ref[0, 0]
-    k = k_ref[0, 0]
-    v = v_ref[0, 0]
-    g = g_ref[0, 0].astype(jnp.float32)
-
-    s = jax.lax.dot_general(
-        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    )
-    s = s * scale + bias_ref[0]
-    m = jnp.max(s, axis=-1, keepdims=True)
-    e = jnp.exp(s - m)
-    p = e / jnp.sum(e, axis=-1, keepdims=True)  # (Sq, Sk) f32
-
-    dv_ref[0, 0] = jax.lax.dot_general(
-        p, g, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
-    ).astype(dv_ref.dtype)
-    dp = jax.lax.dot_general(
-        g,
-        v.astype(jnp.float32),
-        (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
-    ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
-    dq_ref[0, 0] = (
-        jnp.dot(ds, k.astype(jnp.float32), preferred_element_type=jnp.float32)
-        * scale
-    ).astype(dq_ref.dtype)
-    dk_ref[0, 0] = (
-        jax.lax.dot_general(
-            ds, q.astype(jnp.float32), (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        * scale
-    ).astype(dk_ref.dtype)
-
-
-def _mha_bwd_pallas(q, k, v, kv_mask, g, interpret: bool):
-    B, H, Sq, D = q.shape
-    Sk = k.shape[2]
-    scale = 1.0 / (D**0.5)
-    Dp = _round_up(D, 128)
-    Sqp = _round_up(Sq, 128)  # Sq is a lane dim in dsᵀ q
-    Skp = _round_up(Sk, 128)
-
-    pad = lambda x, S, Sp: jnp.pad(x, ((0, 0), (0, 0), (0, Sp - S), (0, Dp - D)))
-    qp, kp, vp = pad(q, Sq, Sqp), pad(k, Sk, Skp), pad(v, Sk, Skp)
-    gp = pad(g, Sq, Sqp)
-    if kv_mask is None:
-        kv_mask = jnp.ones((B, Sk), dtype=bool)
-    maskp = jnp.pad(kv_mask, ((0, 0), (0, Skp - Sk)))
-    bias = jnp.where(maskp, 0.0, _NEG_INF).astype(jnp.float32)[:, None, :]
-
-    spec = lambda S: pl.BlockSpec(
-        (1, 1, S, Dp), lambda b, h: (b, h, 0, 0), memory_space=pltpu.VMEM
-    )
-    dq, dk, dv = pl.pallas_call(
-        functools.partial(_mha_bwd_kernel, scale=scale),
-        out_shape=(
-            jax.ShapeDtypeStruct((B, H, Sqp, Dp), q.dtype),
-            jax.ShapeDtypeStruct((B, H, Skp, Dp), k.dtype),
-            jax.ShapeDtypeStruct((B, H, Skp, Dp), v.dtype),
-        ),
-        grid=(B, H),
-        in_specs=[
-            spec(Sqp),
-            spec(Skp),
-            spec(Skp),
-            pl.BlockSpec(
-                (1, 1, Skp), lambda b, h: (b, 0, 0), memory_space=pltpu.VMEM
-            ),
-            spec(Sqp),
-        ],
-        out_specs=(spec(Sqp), spec(Skp), spec(Skp)),
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel"),
-        ),
-        cost_estimate=pl.CostEstimate(
-            flops=10 * B * H * Sqp * Skp * Dp,
-            bytes_accessed=2
-            * (qp.size + kp.size + vp.size + gp.size)
-            * qp.dtype.itemsize,
-            transcendentals=B * H * Sqp * Skp,
-        ),
-        interpret=interpret,
-    )(qp, kp, vp, bias, gp)
-    return (
-        dq[:, :, :Sq, :D],
-        dk[:, :, :Sk, :D],
-        dv[:, :, :Sk, :D],
-    )
-
-
-# ---------------------------------------------------------------------------
 # Differentiable public op
 # ---------------------------------------------------------------------------
 
@@ -321,19 +215,16 @@ def _mha_fwd(q, k, v, kv_mask, use_pallas, interpret):
     return out, (q, k, v, kv_mask)
 
 
-# Measured on v5e at the ViT-L shape (8,16,577,64): the fused single-
-# program backward kernel runs ~190 ms vs ~<35 ms for the XLA-op backward
+# The backward always reruns through XLA ops (rematerialisation). A fused
+# single-program Pallas dq/dk/dv kernel was built and measured in round 1:
+# ~190 ms vs ~35 ms for this XLA backward at the ViT-L shape (8,16,577,64)
 # — five dependent f32 matmuls + exp in one program starve the pipeline
-# and press VMEM. The kernel is kept (tested in interpret + compiled on
-# TPU) as a tuning target; routing stays on the XLA backward.
-_USE_PALLAS_BWD = False
+# and press VMEM (negative result recorded in BENCH_NOTES.md; the kernel
+# was deleted rather than kept dead, VERDICT r1 item 7).
 
 
 def _mha_bwd(use_pallas, interpret, res, g):
     q, k, v, kv_mask = res
-    if use_pallas and _USE_PALLAS_BWD:
-        dq, dk, dv = _mha_bwd_pallas(q, k, v, kv_mask, g, interpret)
-        return dq, dk, dv, None
     scale = 1.0 / (q.shape[-1] ** 0.5)
     s = jnp.einsum("bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32)
     s = s * scale

@@ -13,10 +13,13 @@ round-to-nearest is the standard for post-training weight quant.
 
 from __future__ import annotations
 
-from typing import Tuple
+import functools
+from typing import Callable, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
 
 
 def quantize_weight(w: jax.Array) -> Tuple[jax.Array, jax.Array]:
@@ -58,6 +61,143 @@ def int8_matmul(
         preferred_element_type=jnp.int32,
     )
     return (y.astype(jnp.float32) * x_scale * w_scale).astype(out_dtype)
+
+
+# ---------------------------------------------------------------------------
+# Fused-epilogue int8 matmul (Pallas) — the round-2 serving lever.
+#
+# BENCH_NOTES measured UNFUSED int8 as a wash (63 vs 65 TFLOP/s): the
+# separate activation-quant pass costs an extra HBM round trip that cancels
+# the 2× MXU rate. Here the per-row quantization happens on the VMEM-resident
+# x block inside the matmul kernel (recomputed per N-tile — VPU work that is
+# ~TN× smaller than the MXU work it unlocks), and the dequant-rescale, bias
+# and activation fuse into the epilogue, so the only HBM traffic is
+# bf16 x in + int8 w in + bf16 y out.
+# ---------------------------------------------------------------------------
+
+
+def _cdiv(a: int, b: int) -> int:
+    return -(-a // b)
+
+
+def _on_tpu() -> bool:
+    return jax.default_backend() in ("tpu", "axon")
+
+
+def _int8_mm_kernel(x_ref, w_ref, ws_ref, b_ref, o_ref, xi_ref, sx_ref, *, act):
+    # Quantize the (TM, K) x block ONCE per M-tile into VMEM scratch; the
+    # N-tiles (inner grid dim) reuse it. Recomputing the quantize per
+    # N-tile was measured to cancel the whole int8 MXU win (VPU-bound).
+    @pl.when(pl.program_id(1) == 0)
+    def _():
+        x = x_ref[:].astype(jnp.float32)  # (TM, K)
+        amax = jnp.max(jnp.abs(x), axis=1, keepdims=True)
+        sx = jnp.maximum(amax, 1e-8) * (1.0 / 127.0)
+        sx_ref[:] = sx
+        xi_ref[:] = jnp.round(x * (1.0 / sx)).astype(jnp.int8)
+
+    acc = jax.lax.dot_general(
+        xi_ref[:],
+        w_ref[:],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    y = acc.astype(jnp.float32) * sx_ref[:] * ws_ref[:] + b_ref[:]
+    if act is not None:
+        y = act(y)
+    o_ref[:] = y.astype(o_ref.dtype)
+
+
+def int8_matmul_fused(
+    x: jax.Array,
+    w_i8: jax.Array,
+    w_scale: jax.Array,
+    bias: Optional[jax.Array] = None,
+    act: Optional[Callable] = None,
+    out_dtype: jnp.dtype = jnp.bfloat16,
+    block_m: Optional[int] = None,
+    block_n: int = 256,
+    interpret: Optional[bool] = None,
+) -> jax.Array:
+    """x (M, K) @ dequant(w_i8 (K, N)) + bias, then act — one Pallas call.
+
+    Per-row activation quantization runs on the VMEM x block (no HBM round
+    trip); the int8×int8→int32 dot rides the MXU at 2× the bf16 rate; the
+    f32 rescale/bias/activation epilogue writes bf16 straight out.
+    """
+    M, K = x.shape
+    N = w_i8.shape[1]
+    if interpret is None:
+        interpret = not _on_tpu()  # CPU tests run the kernel interpreted
+    if block_m is None:
+        # Keep x(f32 temp)+x_i8+w+acc under ~8 MB of VMEM.
+        block_m = 256 if K > 1024 else 512
+    block_n = min(block_n, N)
+    if N % block_n:
+        raise ValueError(f"N={N} must be a multiple of block_n={block_n}")
+    Mp = _cdiv(M, block_m) * block_m
+    if Mp != M:
+        x = jnp.pad(x, ((0, Mp - M), (0, 0)))
+    ws = w_scale.reshape(1, N).astype(jnp.float32)
+    b = (
+        bias.reshape(1, N)
+        if bias is not None
+        else jnp.zeros((1, N))
+    ).astype(jnp.float32)
+
+    out = pl.pallas_call(
+        functools.partial(_int8_mm_kernel, act=act),
+        out_shape=jax.ShapeDtypeStruct((Mp, N), out_dtype),
+        grid=(Mp // block_m, N // block_n),
+        in_specs=[
+            pl.BlockSpec((block_m, K), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((K, block_n), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_n), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_n), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (block_m, block_n), lambda i, j: (i, j), memory_space=pltpu.VMEM
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((block_m, K), jnp.int8),
+            pltpu.VMEM((block_m, 1), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            # Sequential grid: the scratch quantization written at j==0 is
+            # reused by the remaining N-tiles of the same M-tile.
+            dimension_semantics=("arbitrary", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * Mp * K * N,
+            bytes_accessed=Mp * K * 2 + K * N + Mp * N * 2,
+            transcendentals=Mp * N if act is not None else 0,
+        ),
+        interpret=interpret,
+    )(x, w_i8, ws, b)
+    return out[:M] if Mp != M else out
+
+
+def int8_matmul_fused_reference(
+    x: jax.Array,
+    w_i8: jax.Array,
+    w_scale: jax.Array,
+    bias: Optional[jax.Array] = None,
+    act: Optional[Callable] = None,
+    out_dtype: jnp.dtype = jnp.bfloat16,
+) -> jax.Array:
+    """Plain-XLA oracle for the fused kernel (same math, unfused)."""
+    x_i8, x_scale = quantize_activation(x)
+    y = jax.lax.dot_general(
+        x_i8,
+        w_i8,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    ).astype(jnp.float32) * x_scale * w_scale
+    if bias is not None:
+        y = y + bias.astype(jnp.float32)
+    if act is not None:
+        y = act(y)
+    return y.astype(out_dtype)
 
 
 def quantization_error(w: jax.Array) -> float:

@@ -84,3 +84,10 @@ def shard_batch(batch: Any, mesh: Mesh) -> Any:
     """Device_put a host batch with the batch dim sharded over 'data'."""
     s = batch_sharding(mesh)
     return jax.tree.map(lambda x: jax.device_put(x, s), batch)
+
+
+def shard_chunk(chunk: Any, mesh: Mesh) -> Any:
+    """Device_put a stacked (K, B, ...) batch chunk for the scanned train
+    step: scan (K) dim replicated, batch (B) dim sharded over 'data'."""
+    s = NamedSharding(mesh, P(None, DATA_AXIS))
+    return jax.tree.map(lambda x: jax.device_put(x, s), chunk)

@@ -136,7 +136,7 @@ def cross_entropy(
     return jnp.mean(losses)
 
 
-def make_train_step(
+def _train_step_body(
     model: BTIAADNet, cfg: Config, mesh: Mesh
 ) -> Callable[[TrainState, dict], Tuple[TrainState, dict]]:
     b_sh = batch_sharding(mesh)
@@ -181,8 +181,35 @@ def make_train_step(
         gnorm = optax.global_norm(grads)
         return new_state, {"loss": loss, "accuracy": acc, "grad_norm": gnorm}
 
+    return step
+
+
+def make_train_step(
+    model: BTIAADNet, cfg: Config, mesh: Mesh
+) -> Callable[[TrainState, dict], Tuple[TrainState, dict]]:
+    step = _train_step_body(model, cfg, mesh)
     donate = (0,) if cfg.train.donate else ()
     return jax.jit(step, donate_argnums=donate)
+
+
+def make_train_step_scan(
+    model: BTIAADNet, cfg: Config, mesh: Mesh
+) -> Callable[[TrainState, dict], Tuple[TrainState, dict]]:
+    """K optimizer steps in ONE compiled program via lax.scan [VERDICT r1
+    item 8]: TrainState never leaves the device between the K steps —
+    one launch and one (stacked, K-element) metrics return per chunk
+    instead of ~1300 state buffers per step.
+
+    The chunk dict carries (K, B, ...) arrays; semantics are bit-identical
+    to K sequential make_train_step calls (same fold_in(step) RNG chain).
+    """
+    step = _train_step_body(model, cfg, mesh)
+
+    def multi(state: TrainState, chunk: dict) -> Tuple[TrainState, dict]:
+        return jax.lax.scan(step, state, chunk)
+
+    donate = (0,) if cfg.train.donate else ()
+    return jax.jit(multi, donate_argnums=donate)
 
 
 def make_eval_step(

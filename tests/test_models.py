@@ -133,6 +133,43 @@ class TestFullModel:
             np.asarray(fan[0, 1]), np.asarray(single2[0]), atol=1e-4
         )
 
+    def test_int8_ffn_serving_close_and_training_exact(self, tiny_cfg, rng):
+        """int8_ffn routes serving FFNs through the fused Pallas kernel:
+        outputs stay close to fp (PTQ noise), and the train-mode forward is
+        bit-identical to the flag-off model (int8 is inference-only)."""
+        import dataclasses
+
+        base = dataclasses.replace(
+            tiny_cfg.model, mixed_precision=True, dropout=0.0
+        )
+        m_fp = build_model(base)
+        m_i8 = build_model(dataclasses.replace(base, int8_ffn=True))
+        imgs = jnp.asarray(rng.randint(0, 255, (2, 96, 96, 3)), jnp.uint8)
+        qids = jnp.asarray(
+            rng.randint(1, 100, (2, base.max_question_len)), jnp.int32
+        )
+        key = jax.random.PRNGKey(0)
+        variables = m_fp.init({"params": key, "dropout": key}, imgs, qids)
+        # identical param trees: the int8 model must accept fp variables
+        fp = np.asarray(m_fp.apply(variables, imgs, qids), np.float32)
+        i8 = np.asarray(m_i8.apply(variables, imgs, qids), np.float32)
+        assert np.isfinite(i8).all()
+        scale = np.abs(fp).max() + 1e-6
+        assert np.abs(i8 - fp).max() / scale < 0.15, (
+            np.abs(i8 - fp).max() / scale
+        )
+        # train mode: int8 disabled, forwards bit-identical
+        rngs = {"dropout": jax.random.PRNGKey(1)}
+        fp_t, _ = m_fp.apply(
+            variables, imgs, qids, train=True, rngs=rngs,
+            mutable=["batch_stats"],
+        )
+        i8_t, _ = m_i8.apply(
+            variables, imgs, qids, train=True, rngs=rngs,
+            mutable=["batch_stats"],
+        )
+        np.testing.assert_array_equal(np.asarray(fp_t), np.asarray(i8_t))
+
     def test_all_registered_configs_validate(self):
         from btia_tpu.configs import get_config, list_configs
 

@@ -1,10 +1,13 @@
 """Int8 quantization op tests [BENCH_NOTES round-2 lever]."""
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
 from btia_tpu.ops.quant import (
     int8_matmul,
+    int8_matmul_fused,
+    int8_matmul_fused_reference,
     quantization_error,
     quantize_activation,
     quantize_weight,
@@ -40,3 +43,55 @@ class TestQuant:
         w_i8, ws = quantize_weight(w)
         out = int8_matmul(x, w_i8, ws)
         assert out.shape == (2, 5, 32)
+
+
+class TestFusedKernel:
+    """Pallas fused quantize+matmul+epilogue vs the XLA oracle
+    (interpret mode on CPU [SURVEY §4.2])."""
+
+    def _run(self, rng, M, K, N, act=None, bias=True):
+        x = jnp.asarray(rng.randn(M, K), jnp.bfloat16)
+        w = jnp.asarray(rng.randn(K, N) * 0.05, jnp.float32)
+        w_i8, ws = quantize_weight(w)
+        b = jnp.asarray(rng.randn(N) * 0.1, jnp.float32) if bias else None
+        got = int8_matmul_fused(
+            x, w_i8, ws, b, act=act, interpret=True, block_m=64, block_n=128
+        )
+        want = int8_matmul_fused_reference(x, w_i8, ws, b, act=act)
+        np.testing.assert_allclose(
+            np.asarray(got, np.float32),
+            np.asarray(want, np.float32),
+            atol=0.05,
+            rtol=0.05,
+        )
+        return got
+
+    def test_matches_reference(self, rng):
+        self._run(rng, 128, 256, 128)
+
+    def test_gelu_epilogue(self, rng):
+        import functools
+
+        gelu = functools.partial(jax.nn.gelu, approximate=False)
+        self._run(rng, 128, 256, 128, act=gelu)
+
+    def test_unaligned_m_padded(self, rng):
+        out = self._run(rng, 100, 256, 128)
+        assert out.shape == (100, 128)
+
+    def test_no_bias(self, rng):
+        self._run(rng, 64, 128, 128, bias=False)
+
+    def test_close_to_fp_matmul(self, rng):
+        """End accuracy gate: int8 path ≈ fp32 matmul within PTQ noise."""
+        M, K, N = 128, 384, 128
+        x = jnp.asarray(rng.randn(M, K), jnp.float32)
+        w = jnp.asarray(rng.randn(K, N) * 0.05, jnp.float32)
+        w_i8, ws = quantize_weight(w)
+        got = int8_matmul_fused(
+            x.astype(jnp.bfloat16), w_i8, ws,
+            interpret=True, block_m=64, block_n=128, out_dtype=jnp.float32,
+        )
+        ref = x @ w
+        rel = np.abs(np.asarray(got - ref)) / (np.abs(np.asarray(ref)) + 1e-2)
+        assert rel.mean() < 0.05, rel.mean()

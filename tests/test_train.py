@@ -167,6 +167,32 @@ class TestTrainer:
         np.testing.assert_allclose(np.asarray(p1), np.asarray(p2))
 
 
+class TestScannedTraining:
+    def test_steps_per_call_matches_single_step(self, tiny_run, tmp_path):
+        """steps_per_call>1 (lax.scan chunking, one launch per K steps)
+        must reproduce single-step training [VERDICT r1 item 8]."""
+        import dataclasses
+
+        cfg, _ = tiny_run
+        cfg_scan = dataclasses.replace(
+            cfg, train=dataclasses.replace(cfg.train, steps_per_call=2)
+        )
+        t1 = Trainer(cfg, tmp_path / "single")
+        t1.fit(epochs=1)
+        t2 = Trainer(cfg_scan, tmp_path / "scan")
+        t2.fit(epochs=1)
+        assert int(jax.device_get(t1.state.step)) == int(
+            jax.device_get(t2.state.step)
+        )
+        for a, b in zip(
+            jax.tree.leaves(t1.state.params), jax.tree.leaves(t2.state.params)
+        ):
+            np.testing.assert_allclose(
+                np.asarray(a, np.float32), np.asarray(b, np.float32),
+                atol=1e-5, rtol=1e-5,
+            )
+
+
 class TestPreemptionAndResume:
     def test_mid_epoch_resume_step_accounting(self, tiny_run, tmp_path):
         """Restored step → (epoch, offset); fit completes exactly the
