@@ -24,7 +24,22 @@ import numpy as np
 
 
 def summarize_xplane(logdir: str, top: int = 25) -> None:
-    from tensorflow.core.profiler.protobuf import xplane_pb2
+    xplane_pb2 = None
+    for modpath in (
+        "tensorflow.tsl.profiler.protobuf.xplane_pb2",
+        "tensorflow.core.profiler.protobuf.xplane_pb2",
+        "xprof.protobuf.xplane_pb2",
+    ):
+        try:
+            import importlib
+
+            xplane_pb2 = importlib.import_module(modpath)
+            break
+        except ImportError:
+            continue
+    if xplane_pb2 is None:
+        print("no xplane proto module available")
+        return
 
     paths = sorted(glob.glob(f"{logdir}/**/*.xplane.pb", recursive=True))
     if not paths:
@@ -32,23 +47,32 @@ def summarize_xplane(logdir: str, top: int = 25) -> None:
         return
     xspace = xplane_pb2.XSpace()
     xspace.ParseFromString(Path(paths[-1]).read_bytes())
-    totals: dict = collections.Counter()
+    import re
+
+    totals: dict = collections.Counter()  # per exact op
+    cats: dict = collections.Counter()  # per category (name sans .N suffix)
     for plane in xspace.planes:
         if "TPU" not in plane.name and "tpu" not in plane.name.lower():
             continue
         ev_names = {i: m.name for i, m in plane.event_metadata.items()}
         for line in plane.lines:
-            lname = line.name.lower()
-            if "step" in lname or "xla module" in lname:
-                continue  # outer aggregates; keep op-level lines
+            # Only the synchronous op timeline: 'Async XLA Ops' durations
+            # span copy-start→done and overlap compute (double-counts).
+            if line.name != "XLA Ops":
+                continue
             for ev in line.events:
                 name = ev_names.get(ev.metadata_id, "?")
-                totals[name] += ev.duration_ps / 1e9  # → ms
-    print(f"\n== top self-time ops (ms over profiled window) ==")
+                ms = ev.duration_ps / 1e9
+                totals[name] += ms
+                cats[re.sub(r"\.\d+$", "", name.lstrip("%"))] += ms
     total_ms = sum(totals.values())
+    print("\n== top op categories (device ms over profiled window) ==")
+    for name, ms in cats.most_common(top):
+        print(f"{ms:9.2f} ms  {100*ms/max(total_ms,1e-9):5.1f}%  {name[:100]}")
+    print("\n== top individual ops ==")
     for name, ms in totals.most_common(top):
-        print(f"{ms:9.2f} ms  {100*ms/max(total_ms,1e-9):5.1f}%  {name[:110]}")
-    print(f"{total_ms:9.2f} ms  total (all lines)")
+        print(f"{ms:9.2f} ms  {100*ms/max(total_ms,1e-9):5.1f}%  {name[:100]}")
+    print(f"{total_ms:9.2f} ms  total device op time")
 
 
 def main() -> None:

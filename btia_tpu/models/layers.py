@@ -116,8 +116,15 @@ class QuantizableDense(nn.Module):
                 out_dtype=cd,
             )
             return y.reshape(*x.shape[:-1], self.features)
-        y = jnp.dot(x.astype(cd), kernel.astype(cd)) + bias.astype(cd)
-        return act(y) if act is not None else y
+        # Flatten tokens to 2D rows: XLA tiles a (B*N, D) matmul onto the
+        # MXU at ~177 TF/s, while the 3D form with a non-multiple-of-8
+        # token dim (e.g. 50 BTIA image tokens) lowered to a ~70 TF/s
+        # generic fusion (profiled, BENCH_NOTES round 2).
+        x2 = x.reshape(-1, x.shape[-1]).astype(cd)
+        y = jnp.dot(x2, kernel.astype(cd)) + bias.astype(cd)
+        if act is not None:
+            y = act(y)
+        return y.reshape(*x.shape[:-1], self.features)
 
 
 class Mlp(nn.Module):

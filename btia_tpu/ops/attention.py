@@ -251,6 +251,165 @@ _mha.defvjp(_mha_fwd, _mha_bwd)
 # Pallas kernel (XLA materializes/OOMs there).
 _SMALL_SCORE_TILE = 32_768  # Sq * Sk elements
 
+
+# ---------------------------------------------------------------------------
+# Batch-blocked fan-out attention kernel (short sequences, huge batch)
+# ---------------------------------------------------------------------------
+#
+# The serving fan-out [B:11] runs attention at shapes like
+# (B=2048, H=12, Sq=32, Sk=32..82). XLA's einsum lowering materializes the
+# f32 score tensor in HBM with quarter-full lane tiles (Sk=32 of 128 lanes)
+# and surrounds it with head-layout copies — profiled at ~200 ms of a
+# 437 ms serving step, where the true attention FLOPs justify ~10 ms.
+#
+# This kernel packs `bb` batch elements into ONE score matmul per head:
+#   Q_cat (bb*Sq, D) @ K_catᵀ (D, bb*Sk) → scores (bb*Sq, bb*Sk)
+# and masks the off-block-diagonal (cross-batch) entries multiplicatively
+# after exp. That spends bb× the minimal FLOPs, but buys full MXU rows,
+# a VMEM-resident softmax (no HBM score traffic at all), and a
+# projection-native (B, S, H*D) layout with zero transpose copies. One
+# grid program handles ALL heads of a batch block (~200 MFLOP/program), so
+# per-program overhead — which sank the per-(b,h) kernel on these shapes
+# (BENCH_NOTES round 1) — is amortized ~100×.
+
+
+def _fanout_kernel(q_ref, k_ref, v_ref, cmask_ref, o_ref, *, num_heads, scale):
+    bb, sq, hd = q_ref.shape
+    sk = k_ref.shape[1]
+    d = hd // num_heads
+    q = q_ref[:].reshape(bb * sq, hd)
+    k = k_ref[:].reshape(bb * sk, hd)
+    v = v_ref[:].reshape(bb * sk, hd)
+    # Valid = same batch element AND unpadded key. cmask_ref comes in
+    # pre-flattened to (1, bb*sk) f32 {0,1}; the block-diagonal part is an
+    # iota compare. exp-then-multiply gives exact masked softmax without
+    # gathers: the row max may include cross-batch scores, which only
+    # shifts the (shift-invariant) softmax.
+    rows_b = jax.lax.broadcasted_iota(jnp.int32, (bb * sq, bb * sk), 0) // sq
+    cols_b = jax.lax.broadcasted_iota(jnp.int32, (bb * sq, bb * sk), 1) // sk
+    mask = jnp.where(rows_b == cols_b, cmask_ref[0], 0.0)
+    outs = []
+    for h in range(num_heads):
+        sl = slice(h * d, (h + 1) * d)
+        s = jax.lax.dot_general(
+            q[:, sl],
+            k[:, sl],
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        s = s * scale
+        m = jnp.max(s, axis=-1, keepdims=True)
+        e = jnp.exp(s - m) * mask
+        denom = jnp.maximum(jnp.sum(e, axis=-1, keepdims=True), 1e-30)
+        p = (e / denom).astype(v.dtype)
+        outs.append(
+            jax.lax.dot_general(
+                p,
+                v[:, sl],
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ).astype(o_ref.dtype)
+        )
+    o_ref[:] = jnp.concatenate(outs, axis=-1).reshape(bb, sq, hd)
+
+
+def _fanout_pallas(q, k, v, colmask, num_heads: int, interpret: bool):
+    """q: (B, Sq, H*D); k, v: (B, Sk, H*D); colmask: (B, Sk) f32 {0,1}."""
+    B, Sq, HD = q.shape
+    Sk = k.shape[1]
+    D = HD // num_heads
+    scale = 1.0 / (D**0.5)
+    # Batch block: pack rows toward ~256 (two full MXU row-tiles) while
+    # keeping the packed score tile bounded; power of two so B pads cheaply.
+    bb = 1
+    while bb < 32 and 2 * bb * max(Sq, Sk) <= 512:
+        bb *= 2
+    Bp = _round_up(B, bb)
+    if Bp != B:
+        pad = ((0, Bp - B), (0, 0), (0, 0))
+        q = jnp.pad(q, pad)
+        k = jnp.pad(k, pad)
+        v = jnp.pad(v, pad)
+        colmask = jnp.pad(colmask, ((0, Bp - B), (0, 0)))
+    cm = colmask.reshape(Bp // bb, 1, bb * Sk)
+
+    out = pl.pallas_call(
+        functools.partial(_fanout_kernel, num_heads=num_heads, scale=scale),
+        out_shape=jax.ShapeDtypeStruct((Bp, Sq, HD), q.dtype),
+        grid=(Bp // bb,),
+        in_specs=[
+            pl.BlockSpec((bb, Sq, HD), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bb, Sk, HD), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bb, Sk, HD), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (1, 1, bb * Sk), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (bb, Sq, HD), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * Bp * bb * num_heads * Sq * Sk * D,
+            bytes_accessed=2 * (q.size + k.size + v.size) * q.dtype.itemsize,
+            transcendentals=Bp * bb * num_heads * Sq * Sk,
+        ),
+        interpret=interpret,
+    )(q, k, v, cm)
+    return out[:B]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
+def _fanout_mha(q, k, v, colmask, num_heads: int, interpret: bool):
+    return _fanout_pallas(q, k, v, colmask, num_heads, interpret)
+
+
+def _fanout_fwd(q, k, v, colmask, num_heads, interpret):
+    out = _fanout_mha(q, k, v, colmask, num_heads, interpret)
+    return out, (q, k, v, colmask)
+
+
+def _fanout_bwd(num_heads, interpret, res, g):
+    # XLA rematerialisation in the packed (B, S, H, D) layout — mirrors the
+    # kernel's multiplicative-mask softmax so p (incl. exact zeros at
+    # masked keys) matches the forward.
+    q, k, v, colmask = res
+    B, Sq, HD = q.shape
+    Sk = k.shape[1]
+    D = HD // num_heads
+    scale = 1.0 / (D**0.5)
+    q4 = q.reshape(B, Sq, num_heads, D)
+    k4 = k.reshape(B, Sk, num_heads, D)
+    v4 = v.reshape(B, Sk, num_heads, D)
+    s = jnp.einsum("bqhd,bkhd->bhqk", q4, k4, preferred_element_type=jnp.float32)
+    s = s * scale
+    e = jnp.exp(s - jnp.max(s, axis=-1, keepdims=True))
+    e = e * colmask.astype(jnp.float32)[:, None, None, :]
+    p = e / jnp.maximum(jnp.sum(e, axis=-1, keepdims=True), 1e-30)
+    g4 = g.reshape(B, Sq, num_heads, D).astype(jnp.float32)
+    dv = jnp.einsum("bhqk,bqhd->bkhd", p, g4)
+    dp = jnp.einsum("bqhd,bkhd->bhqk", g4, v4.astype(jnp.float32))
+    ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
+    dq = jnp.einsum("bhqk,bkhd->bqhd", ds, k4.astype(jnp.float32)) * scale
+    dk = jnp.einsum("bhqk,bqhd->bkhd", ds, q4.astype(jnp.float32)) * scale
+    return (
+        dq.reshape(B, Sq, HD).astype(q.dtype),
+        dk.reshape(B, Sk, HD).astype(k.dtype),
+        dv.reshape(B, Sk, HD).astype(v.dtype),
+        None,
+    )
+
+
+_fanout_mha.defvjp(_fanout_fwd, _fanout_bwd)
+
+
+# The fan-out kernel wins only when the batch is large enough to amortize
+# its grid and the sequences are short enough to pack; below this batch the
+# XLA einsum path stays (e.g. training at batch 16-64 on CPU fixtures).
+_FANOUT_MIN_BATCH = 64
+
 # Head-packing (one (H*Sq, H*Sk) block-diag-masked matmul per batch item)
 # was hypothesized to beat batched tiny matmuls, but measured SLOWER than
 # XLA's batched einsum on v5e (benchmarks/attention_bench.py: bert fanout
@@ -324,18 +483,36 @@ def mha_bshd(
 ) -> jax.Array:
     """Attention over (B, S, H, Dh) tensors — the projection-native layout.
 
-    Profiling showed the (B,S,H,D)→(B,H,S,D) transposes around attention
-    cost ~13% of the serving step as physical `copy` ops. For the XLA
-    (short-sequence) path the einsum below keeps H as an interior batch
-    dim and XLA folds the layout change into the matmul — no copies. The
-    Pallas (long-sequence) path still transposes: the kernel needs the
-    head-major layout, and at those sizes the copies are amortized.
+    Three paths, all measured (BENCH_NOTES.md):
+      * long sequences (score tile > _SMALL_SCORE_TILE): the per-(b,h)
+        flash kernel; its transposes are amortized at those sizes.
+      * short sequences with a serving-scale batch (≥ _FANOUT_MIN_BATCH)
+        on TPU: the batch-blocked fan-out kernel — VMEM-resident softmax,
+        no head copies, no HBM score traffic.
+      * otherwise: XLA einsum keeping H as an interior batch dim so the
+        layout change folds into the matmul.
     """
-    Sq, Sk = q.shape[1], k.shape[1]
-    use_pallas = _resolved_impl() == "pallas" and Sq * Sk > _SMALL_SCORE_TILE
-    if use_pallas:
+    B, Sq, H, D = q.shape
+    Sk = k.shape[1]
+    on_tpu = _resolved_impl() == "pallas"
+    if on_tpu and Sq * Sk > _SMALL_SCORE_TILE:
         t = lambda x: x.transpose(0, 2, 1, 3)
         return t(_mha(t(q), t(k), t(v), kv_mask, True, interpret))
+    if on_tpu and B >= _FANOUT_MIN_BATCH and D % 64 == 0:
+        cm = (
+            kv_mask.astype(jnp.float32)
+            if kv_mask is not None
+            else jnp.ones((B, Sk), jnp.float32)
+        )
+        out = _fanout_mha(
+            q.reshape(B, Sq, H * D),
+            k.reshape(B, Sk, H * D),
+            v.reshape(B, Sk, H * D),
+            cm,
+            H,
+            interpret,
+        )
+        return out.reshape(B, Sq, H, D)
 
     scale = 1.0 / (q.shape[-1] ** 0.5)
     scores = jnp.einsum(

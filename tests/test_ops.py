@@ -5,7 +5,7 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
-from btia_tpu.ops.attention import mha, mha_reference
+from btia_tpu.ops.attention import _fanout_mha, mha, mha_reference
 from btia_tpu.ops.bicross import bicross_attention, bicross_reference
 from btia_tpu.ops.ingest import (
     normalize_images,
@@ -71,6 +71,60 @@ class TestMHA:
         q, k, v = (_rand(rng, 1, 1, 4, 8) for _ in range(3))
         mask = jnp.zeros((1, 4), bool).at[:, 0].set(True)
         out = mha(q, k, v, mask, impl="xla")
+        assert bool(jnp.isfinite(out).all())
+
+
+class TestFanoutMHA:
+    """Batch-blocked fan-out kernel (serving hot path) vs reference."""
+
+    def _ref_packed(self, q, k, v, mask, H):
+        B, Sq, HD = q.shape
+        Sk = k.shape[1]
+        D = HD // H
+        t = lambda x, s: x.reshape(B, s, H, D).transpose(0, 2, 1, 3)
+        out = mha_reference(t(q, Sq), t(k, Sk), t(v, Sk), mask)
+        return out.transpose(0, 2, 1, 3).reshape(B, Sq, HD)
+
+    @pytest.mark.parametrize(
+        "B,Sq,Sk,H,D",
+        [
+            (128, 32, 32, 12, 64),  # BERT fan-out self-attention
+            (100, 50, 32, 12, 64),  # BTIA img→txt (batch pads to block)
+            (64, 32, 50, 12, 64),  # BTIA txt→img
+            (70, 64, 82, 12, 64),  # AD head over fused tokens
+        ],
+    )
+    def test_matches_reference(self, rng, B, Sq, Sk, H, D):
+        q, k, v = (
+            _rand(rng, B, s, H * D) for s in (Sq, Sk, Sk)
+        )
+        mask = jnp.asarray(rng.rand(B, Sk) > 0.3).at[:, 0].set(True)
+        out = _fanout_mha(q, k, v, mask.astype(jnp.float32), H, True)
+        ref = self._ref_packed(q, k, v, mask, H)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+    def test_gradients_match_reference(self, rng):
+        B, Sq, Sk, H, D = 8, 16, 12, 4, 64
+        q, k, v = (_rand(rng, B, s, H * D) for s in (Sq, Sk, Sk))
+        mask = jnp.asarray(rng.rand(B, Sk) > 0.3).at[:, 0].set(True)
+
+        def loss_ker(q, k, v):
+            out = _fanout_mha(q, k, v, mask.astype(jnp.float32), H, True)
+            return jnp.sum(out**2)
+
+        def loss_ref(q, k, v):
+            return jnp.sum(self._ref_packed(q, k, v, mask, H) ** 2)
+
+        gk = jax.grad(loss_ker, argnums=(0, 1, 2))(q, k, v)
+        gr = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+        for a, b in zip(gk, gr):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
+
+    def test_fully_masked_row_is_finite(self, rng):
+        B, Sq, Sk, H, D = 8, 8, 8, 2, 64
+        q, k, v = (_rand(rng, B, s, H * D) for s in (Sq, Sk, Sk))
+        mask = jnp.zeros((B, Sk), jnp.float32)  # every key padded
+        out = _fanout_mha(q, k, v, mask, H, True)
         assert bool(jnp.isfinite(out).all())
 
 
