@@ -22,6 +22,7 @@ IMAGE_ENCODERS = {
     "vit_b16": (768, 224, 197),  # 196 patches + CLS [B:9]
     "vit_l336": (1024, 336, 577),  # 576 patches + CLS, patch 14 [B:11]
     "resnet_tiny": (2048, 64, 4),  # 1-block stages @64px — tests/CI only
+    "vit_test": (64, 96, 145),  # 12x12 grid + CLS — tests / pool ablation
 }
 
 QUESTION_ENCODERS = ("lstm", "bert")
@@ -289,7 +290,11 @@ def _streaming_vitl() -> Config:
             head="ad",
             answer_vocab_size=2048,
             num_answer_queries=64,  # factorized head; profiled sweet spot
-            image_pool_grid=7,  # 577 → 50 fused tokens per question
+            # 577 → 50 fused tokens per question. Measured accuracy cost:
+            # zero on the synthetic-proxy ablation (3 seeds, pool on/off
+            # identical at 0.375 val / 0.75 closed — benchmarks/
+            # pool_accuracy.py, BENCH_NOTES r2); real-data check pending.
+            image_pool_grid=7,
         ),
         data=DataConfig(dataset="vqa_rad"),
         mesh=MeshCfg(data=-1, model=2),

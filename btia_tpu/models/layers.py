@@ -151,6 +151,11 @@ class Mlp(nn.Module):
             # the int8 PTQ noise this path already accepts.
             act = functools.partial(nn.gelu, approximate=True)
             return fc2(fc1(x, int8=True, act=act), int8=True)
+        # With both matmuls flattened to 2D rows, XLA output-fuses
+        # fc1→gelu→fc2 into a single op. Forcing them apart with an
+        # optimization_barrier was measured SLOWER end-to-end (431 vs
+        # 338 ms/step, BENCH_NOTES r2) despite higher per-matmul TF/s —
+        # the fused op's skipped HBM round trip and better overlap win.
         x = self.act(fc1(x))
         x = nn.Dropout(self.dropout)(x, deterministic=deterministic)
         return fc2(x)

@@ -42,6 +42,9 @@ class ViTSpec:
 VIT_SPECS = {
     "vit_b16": ViTSpec(image_size=224, patch_size=16, dim=768, depth=12, num_heads=12),
     "vit_l336": ViTSpec(image_size=336, patch_size=14, dim=1024, depth=24, num_heads=16),
+    # CPU-scale ViT for tests and the image_pool_grid ablation
+    # (benchmarks/pool_accuracy.py): 12x12 grid + CLS = 145 tokens.
+    "vit_test": ViTSpec(image_size=96, patch_size=8, dim=64, depth=2, num_heads=4),
 }
 
 

@@ -150,7 +150,10 @@ def _train_step_body(
 
         def loss_fn(params):
             variables = {"params": params}
-            mutable = []
+            # mutable must be False (not []) when there are no batch_stats:
+            # flax returns an (out, state) tuple for ANY non-False mutable,
+            # including the empty list.
+            mutable: object = False
             if state.batch_stats:
                 variables["batch_stats"] = state.batch_stats
                 mutable = ["batch_stats"]

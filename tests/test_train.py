@@ -110,6 +110,27 @@ class TestTrainStep:
         assert losses[-1] < losses[0] * 0.7, f"no overfit: {losses}"
         assert np.isfinite(losses).all()
 
+    def test_train_step_without_batch_stats(self, tiny_run):
+        """Models with no BatchNorm (ViT/BERT/LSTM) must train too: flax
+        apply(mutable=[]) returns a tuple even for the EMPTY list, which
+        used to crash the loss_fn (regression, round 2)."""
+        import dataclasses
+
+        cfg, _ = tiny_run
+        cfg = dataclasses.replace(
+            cfg,
+            model=dataclasses.replace(cfg.model, image_encoder="vit_test"),
+        )
+        dm = build_data(cfg)
+        model = build_model(cfg.model)
+        mesh = make_mesh(MeshConfig(data=-1, model=1))
+        state = create_state(model, cfg, mesh, steps_per_epoch=10)
+        assert not state.batch_stats
+        step = make_train_step(model, cfg, mesh)
+        batch = next(iter(dm.iterator("train", batch_size=8)))
+        state, m = step(state, batch_to_device(batch, mesh))
+        assert np.isfinite(float(jax.device_get(m["loss"])))
+
 
 class TestEvalStep:
     def test_unk_excluded_from_argmax(self, tiny_cfg):
