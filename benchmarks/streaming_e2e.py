@@ -1,0 +1,169 @@
+"""End-to-end streaming benchmark: DICOM **bytes on disk** → ranked answers.
+
+The headline bench (bench.py) measures the device serving loop over
+host-staged uint8 buffers. This bench measures the full B:11 scenario —
+SURVEY §3.5's `serve_stream` — starting from Part-10 DICOM files:
+
+    host threads: native C++ DICOM decode + resize → queue
+    device loop:  on-device normalize → ViT-L/336 encode (once/image)
+                  → BTIA fan-out → AD head → top-k answers fetched
+
+It drives the REAL serving surface (`btia_tpu.infer.streaming
+.StreamingServer`) on the real TPU; the point is to show the 1-core host
+can feed the chip (VERDICT r1 item 2: the device-only number is only
+honest if decode keeps up). Run:
+
+    python benchmarks/streaming_e2e.py [--images 256 --batch 16 --questions 128]
+
+Writes distinct 512x512 uint16 MONOCHROME2 DICOMs (the common CT export
+shape) to a temp dir first; generation time is excluded from the timing.
+Question texts draw from a template pool (VQA question distributions are
+template-heavy); tokenization is memoized by the server.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import tempfile
+import time
+from pathlib import Path
+
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+TARGET_PAIRS_PER_SEC = 5000.0
+
+QUESTION_TEMPLATES = [
+    "is the {} normal",
+    "is there evidence of {} abnormality",
+    "what modality is this {} image",
+    "which plane shows the {}",
+    "is the {} enlarged",
+    "does the {} contain a lesion",
+    "what organ system is the {} part of",
+    "are both {} fields clear",
+]
+ORGANS = ["lung", "heart", "liver", "kidney", "spine", "brain", "bowel", "chest"]
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--config", default="streaming_vitl")
+    ap.add_argument("--images", type=int, default=256)
+    ap.add_argument("--batch", type=int, default=16)
+    ap.add_argument("--questions", type=int, default=128)
+    ap.add_argument("--dicom-size", type=int, default=512)
+    ap.add_argument("--decode-threads", type=int, default=2)
+    ap.add_argument("--topk", type=int, default=5)
+    ap.add_argument("--json-only", action="store_true")
+    args = ap.parse_args()
+
+    import jax
+
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/tmp/btia_jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+    except Exception:
+        pass
+
+    import jax.numpy as jnp
+
+    from btia_tpu.configs import get_config
+    from btia_tpu.data import native
+    from btia_tpu.data.dicom import write_dicom
+    from btia_tpu.data.vocab import AnswerVocab
+    from btia_tpu.data.wordpiece import WordPieceTokenizer
+    from btia_tpu.infer.predict import Predictor
+    from btia_tpu.infer.streaming import StreamingServer
+    from btia_tpu.models.model import build_model
+
+    cfg = get_config(args.config)
+    model = build_model(cfg.model)
+
+    # --- stage the DICOM corpus (excluded from timing) -------------------
+    rng = np.random.RandomState(0)
+    root = Path(tempfile.mkdtemp(prefix="e2e_dicom_"))
+    paths = []
+    for i in range(args.images):
+        px = rng.randint(0, 4096, (args.dicom_size, args.dicom_size)).astype(
+            np.uint16
+        )
+        p = root / f"img{i:04d}.dcm"
+        write_dicom(p, px, window=(2048.0, 4096.0))
+        paths.append(p)
+
+    corpus_words = sorted({w for t in QUESTION_TEMPLATES for w in t.split() if "{" not in w} | set(ORGANS))
+    tok = WordPieceTokenizer.toy_vocab(corpus_words)
+    answers = AnswerVocab.build([f"answer_{i}" for i in range(64)])
+
+    # Random-init weights: throughput is weight-independent and no
+    # pretrained checkpoints exist on this machine (SURVEY §7.1).
+    key = jax.random.PRNGKey(0)
+    ingest = max(256, cfg.model.image_size)
+    init_imgs = jnp.zeros((2, ingest, ingest, 3), jnp.uint8)
+    init_qids = jnp.zeros((2, cfg.model.max_question_len), jnp.int32)
+    variables = jax.jit(model.init, static_argnames=("train",))(
+        {"params": key, "dropout": key}, init_imgs, init_qids, train=False
+    )
+
+    predictor = Predictor(model, variables, tok, answers, cfg)
+    server = StreamingServer(
+        predictor,
+        image_batch=args.batch,
+        questions_per_image=args.questions,
+        decode_threads=args.decode_threads,
+        topk=args.topk,
+    )
+
+    def requests(items):
+        qi = 0
+        for p in items:
+            qs = []
+            for _ in range(args.questions):
+                t = QUESTION_TEMPLATES[qi % len(QUESTION_TEMPLATES)]
+                qs.append(t.format(ORGANS[(qi // len(QUESTION_TEMPLATES)) % len(ORGANS)]))
+                qi += 1
+            yield p, qs
+
+    # Warmup: compile the serving program + fill the tokenizer memo.
+    t0 = time.perf_counter()
+    for _ in server.serve(requests(paths[: args.batch])):
+        pass
+    compile_s = time.perf_counter() - t0
+    server.pairs_processed = 0
+    server.wall_seconds = 0.0
+
+    served = 0
+    for (_vals, _ids), n in server.serve(requests(paths)):
+        served += 1
+    assert served == args.images, (served, args.images)
+    assert not server.errors, server.errors[:3]
+
+    pps = server.pairs_per_second
+    result = {
+        "metric": "e2e_dicom_to_answers_pairs_per_sec_per_chip",
+        "value": round(pps, 1),
+        "unit": "pairs/s/chip",
+        "vs_baseline": round(pps / TARGET_PAIRS_PER_SEC, 3),
+    }
+    if not args.json_only:
+        detail = {
+            "config": args.config,
+            "native_ingest": native.available(),
+            "images": args.images,
+            "questions_per_image": args.questions,
+            "image_batch": args.batch,
+            "dicom_px": args.dicom_size,
+            "decode_threads": args.decode_threads,
+            "wall_s": round(server.wall_seconds, 3),
+            "compile_s": round(compile_s, 1),
+        }
+        print(json.dumps(detail), file=sys.stderr)
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

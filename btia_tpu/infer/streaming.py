@@ -37,18 +37,36 @@ class StreamingServer:
         questions_per_image: int = 8,
         decode_threads: int = 2,
         queue_depth: int = 4,
+        topk: Optional[int] = None,
     ):
+        """`topk`: fetch only the top-k (value, answer-id) pairs per question
+        instead of the full answer-vocab logits. Serving callers only need
+        the ranked answers; at vocab 2048 this shrinks the device→host
+        transfer ~400x, which matters when the host link is the bottleneck
+        (it is on the benchmark tunnel). serve() then yields
+        ((values (Q,k), ids (Q,k)), n) per image instead of (logits, n)."""
         self.p = predictor
         self.B = image_batch
         self.Q = questions_per_image
         self.decode_threads = decode_threads
         self.queue_depth = queue_depth
+        self.topk = topk
         self.pairs_processed = 0
         self.wall_seconds = 0.0
         # Per-request decode/tokenize failures (the request is skipped, the
         # server keeps running); inspect after serve() completes.
         self.errors: List[Exception] = []
-        self._fwd = predictor._fanout_forward(self.B, self.Q)
+        # Questions repeat heavily across images in VQA serving (template
+        # questions); memoize host-side tokenization — WordPiece encode is
+        # pure Python and the host has one core.
+        self._tok_memo: dict = {}
+        base = predictor._fanout_forward(self.B, self.Q)
+        if topk is None:
+            self._fwd = base
+        else:
+            self._fwd = jax.jit(
+                lambda v, imgs, qids: jax.lax.top_k(base(v, imgs, qids), topk)
+            )
 
     def _decode_worker(
         self,
@@ -74,7 +92,12 @@ class StreamingServer:
                         (self.Q, self.p.cfg.model.max_question_len), np.int32
                     )
                     n = min(len(questions), self.Q)
-                    qids[:n] = self.p._tokenize(list(questions)[:n])
+                    for j, qtext in enumerate(list(questions)[:n]):
+                        ids = self._tok_memo.get(qtext)
+                        if ids is None:
+                            ids = self.p._tokenize([qtext])[0]
+                            self._tok_memo[qtext] = ids
+                        qids[j] = ids
                 except Exception as e:  # bad request: report, keep serving
                     out_q.put(_DecodeError(e))
                     continue
@@ -116,8 +139,13 @@ class StreamingServer:
         def drain(block_all: bool = False):
             # Keep ≤2 device batches in flight (double buffering).
             while in_flight and (block_all or len(in_flight) >= 2):
-                logits, ns = in_flight.pop(0)
-                host = np.asarray(jax.device_get(logits))
+                out, ns = in_flight.pop(0)
+                if self.topk is None:
+                    host = np.asarray(jax.device_get(out))
+                    row = host.__getitem__
+                else:
+                    vals, idxs = map(np.asarray, jax.device_get(out))
+                    row = lambda i: (vals[i], idxs[i])
                 for i, n in enumerate(ns):
                     if n < 0:  # tail-padding row, not a real request
                         continue
@@ -125,7 +153,7 @@ class StreamingServer:
                     # Updated per yield: callers may abandon the generator
                     # (zip with a shorter iterable) before the epilogue.
                     self.wall_seconds = wall_base + time.perf_counter() - t0
-                    yield host[i], n
+                    yield row(i), n
 
         while done_workers < self.decode_threads:
             item = q.get()

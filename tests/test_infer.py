@@ -137,6 +137,24 @@ class TestStreaming:
         assert len(results) == 2
         assert len(server.errors) == 1
 
+    def test_topk_mode_matches_full_logits(self, predictor):
+        """topk serving must yield the same ranked answers as the full-logit
+        path, at ~1/400th the device→host transfer."""
+        p, dm = predictor
+        reqs = lambda: iter([(dm.train[0].image_path, ["is it normal", "b"])])
+        full = StreamingServer(p, image_batch=1, questions_per_image=2)
+        [(logits, n_full)] = list(full.serve(reqs()))
+        k = 3
+        topk = StreamingServer(p, image_batch=1, questions_per_image=2, topk=k)
+        [((vals, ids), n)] = list(topk.serve(reqs()))
+        assert n == n_full == 2
+        assert vals.shape == ids.shape == (2, k)
+        ref_ids = np.argsort(-logits, axis=-1)[:, :k]
+        np.testing.assert_array_equal(ids, ref_ids)
+        np.testing.assert_allclose(
+            vals, np.take_along_axis(logits, ref_ids, -1), atol=1e-5
+        )
+
     def test_serve_order_and_shapes(self, predictor, rng):
         p, dm = predictor
         server = StreamingServer(
