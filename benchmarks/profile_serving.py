@@ -50,7 +50,9 @@ def summarize_xplane(logdir: str, top: int = 25) -> None:
     import re
 
     totals: dict = collections.Counter()  # per exact op
-    cats: dict = collections.Counter()  # per category (name sans .N suffix)
+    counts: dict = collections.Counter()
+    cats: dict = collections.Counter()  # per (op kind, output shape)
+    catn: dict = collections.Counter()
     for plane in xspace.planes:
         if "TPU" not in plane.name and "tpu" not in plane.name.lower():
             continue
@@ -64,14 +66,26 @@ def summarize_xplane(logdir: str, top: int = 25) -> None:
                 name = ev_names.get(ev.metadata_id, "?")
                 ms = ev.duration_ps / 1e9
                 totals[name] += ms
-                cats[re.sub(r"\.\d+$", "", name.lstrip("%"))] += ms
+                counts[name] += 1
+                m = re.match(
+                    r"%?([a-zA-Z_\-]+)[\w.\-]* = (\w+\[[\d,]*\])", name
+                )
+                key = f"{m.group(1)} -> {m.group(2)}" if m else name[:60]
+                cats[key] += ms
+                catn[key] += 1
     total_ms = sum(totals.values())
-    print("\n== top op categories (device ms over profiled window) ==")
+    print("\n== op kind × output shape (device ms over profiled window) ==")
     for name, ms in cats.most_common(top):
-        print(f"{ms:9.2f} ms  {100*ms/max(total_ms,1e-9):5.1f}%  {name[:100]}")
+        print(
+            f"{ms:9.2f} ms  {100*ms/max(total_ms,1e-9):5.1f}%  "
+            f"x{catn[name]:<4d} {name[:90]}"
+        )
     print("\n== top individual ops ==")
     for name, ms in totals.most_common(top):
-        print(f"{ms:9.2f} ms  {100*ms/max(total_ms,1e-9):5.1f}%  {name[:100]}")
+        print(
+            f"{ms:9.2f} ms  {100*ms/max(total_ms,1e-9):5.1f}%  "
+            f"x{counts[name]:<3d} {name[:90]}"
+        )
     print(f"{total_ms:9.2f} ms  total device op time")
 
 

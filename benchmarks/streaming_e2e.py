@@ -58,6 +58,11 @@ def main() -> None:
     ap.add_argument("--dicom-size", type=int, default=512)
     ap.add_argument("--decode-threads", type=int, default=2)
     ap.add_argument("--topk", type=int, default=5)
+    ap.add_argument(
+        "--dedup",
+        action="store_true",
+        help="encode unique questions once per device batch (exact)",
+    )
     ap.add_argument("--json-only", action="store_true")
     args = ap.parse_args()
 
@@ -116,6 +121,7 @@ def main() -> None:
         questions_per_image=args.questions,
         decode_threads=args.decode_threads,
         topk=args.topk,
+        dedup_questions=args.dedup,
     )
 
     def requests(items):
@@ -158,6 +164,7 @@ def main() -> None:
             "image_batch": args.batch,
             "dicom_px": args.dicom_size,
             "decode_threads": args.decode_threads,
+            "dedup_questions": args.dedup,
             "wall_s": round(server.wall_seconds, 3),
             "compile_s": round(compile_s, 1),
         }

@@ -119,6 +119,28 @@ class Predictor:
             self._forward_cache[key] = jax.jit(fwd)
         return self._forward_cache[key]
 
+    def _fanout_forward_indexed(self, B: int, Q: int, U: int):
+        """Deduplicated fan-out: encode U unique questions, gather per
+        (image, question) pair via an index map. One compiled program per
+        (B, Q, U) bucket; exact same logits as the plain path."""
+        key = (B, Q, U, "indexed")
+        if key not in self._forward_cache:
+
+            def fwd(variables, images, unique_ids, qmap):
+                img_tokens = self.model.apply(
+                    variables, images, method="encode_image"
+                )
+                return self.model.apply(
+                    variables,
+                    img_tokens,
+                    unique_ids,
+                    qmap,
+                    method="answer_questions_indexed",
+                )
+
+            self._forward_cache[key] = jax.jit(fwd)
+        return self._forward_cache[key]
+
     # -- public API [B:5] --------------------------------------------------
 
     def predict(self, image: ImageLike, question: str) -> np.ndarray:

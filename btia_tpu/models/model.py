@@ -194,6 +194,37 @@ class BTIAADNet(nn.Module):
         logits = self.fuse_and_answer(img_rep, txt, txt_mask, train)
         return logits.reshape(B, Q, -1)
 
+    def answer_questions_indexed(
+        self,
+        img_tokens: jax.Array,  # (B, N_img, hidden) from encode_image
+        unique_ids: jax.Array,  # (U, S) deduplicated question token rows
+        qmap: jax.Array,  # (B, Q) int32 indices into the U axis
+        train: bool = False,
+    ) -> jax.Array:
+        """`answer_questions` with the question tower deduplicated.
+
+        Question encoding depends only on the question, yet the plain
+        fan-out re-encodes it per (image, question) pair — at B=16, Q=128
+        the BERT tower is ~37% of the serving step (profiled, BENCH_NOTES
+        r2) and serving question distributions are template-heavy, so most
+        of that is re-encoding identical token rows. Here the caller
+        passes the U unique rows plus an index map; the tower runs U times
+        instead of B*Q, and per-pair features are gathered. Exact — each
+        row's encoding is independent of its batch neighbours, so logits
+        match `answer_questions` bit-for-bit shapes aside.
+        """
+        B, Q = qmap.shape
+        txt_u, mask_u = self.encode_question(unique_ids, None, train)
+        flat = qmap.reshape(B * Q)
+        txt = jnp.take(txt_u, flat, axis=0)
+        txt_mask = jnp.take(mask_u, flat, axis=0)
+        n_img, d = img_tokens.shape[1], img_tokens.shape[2]
+        img_rep = jnp.broadcast_to(
+            img_tokens[:, None], (B, Q, n_img, d)
+        ).reshape(B * Q, n_img, d)
+        logits = self.fuse_and_answer(img_rep, txt, txt_mask, train)
+        return logits.reshape(B, Q, -1)
+
     def __call__(
         self,
         images: jax.Array,

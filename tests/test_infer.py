@@ -155,6 +155,27 @@ class TestStreaming:
             vals, np.take_along_axis(logits, ref_ids, -1), atol=1e-5
         )
 
+    def test_dedup_questions_matches_plain(self, predictor):
+        """Unique-question dedup (encode U rows, gather per pair) must give
+        the same logits as the plain fan-out — the question tower is
+        row-independent, so dedup is exact, not approximate."""
+        p, dm = predictor
+        imgs = [s.image_path for s in dm.train[:3]]
+        # Heavy duplication across images, like template-driven serving.
+        reqs = lambda: iter(
+            [(im, ["is it normal", "what organ is shown"]) for im in imgs]
+        )
+        plain = StreamingServer(p, image_batch=2, questions_per_image=2)
+        ref = list(plain.serve(reqs()))
+        dd = StreamingServer(
+            p, image_batch=2, questions_per_image=2, dedup_questions=True
+        )
+        got = list(dd.serve(reqs()))
+        assert len(ref) == len(got) == 3
+        for (la, na), (lb, nb) in zip(ref, got):
+            assert na == nb
+            np.testing.assert_allclose(la, lb, atol=2e-5, rtol=1e-5)
+
     def test_serve_order_and_shapes(self, predictor, rng):
         p, dm = predictor
         server = StreamingServer(
