@@ -128,13 +128,22 @@ def cmd_serve(args) -> None:
         image_batch=args.batch,
         questions_per_image=max(len(questions), 1),
         decode_threads=args.threads,
+        topk=args.topk,
+        dedup_questions=args.dedup,
     )
+    limit = min(len(p.answer_vocab), p.cfg.model.answer_vocab_size)
     reqs = ((str(f), questions) for f in images)
-    for path, (logits, n) in zip(images, server.serve(reqs)):
-        answers = [
-            p.answer_vocab.decode(int(np.argmax(logits[i])))
-            for i in range(n)
-        ]
+    for path, (out, n) in zip(images, server.serve(reqs)):
+        if args.topk:
+            _vals, ids = out  # already excludes <unk> + head padding
+            answers = [p.answer_vocab.decode(int(ids[i, 0])) for i in range(n)]
+        else:
+            answers = [
+                # Skip index 0 (<unk>) and padding — same rule as
+                # predict_answer and the eval argmax.
+                p.answer_vocab.decode(1 + int(np.argmax(out[i, 1:limit])))
+                for i in range(n)
+            ]
         print(json.dumps({"image": path.name, "answers": answers}))
     print(
         json.dumps(
@@ -194,6 +203,14 @@ def main(argv=None) -> None:
     p.add_argument("--batch", type=int, default=4)
     p.add_argument("--threads", type=int, default=2)
     p.add_argument("--best", action="store_true")
+    p.add_argument(
+        "--topk", type=int, default=None,
+        help="fetch only top-k ranked answers (smaller device->host transfer)",
+    )
+    p.add_argument(
+        "--dedup", action="store_true",
+        help="encode unique questions once per device batch (exact)",
+    )
     p.set_defaults(fn=cmd_serve)
 
     p = sub.add_parser("bench", help="run the headline benchmark")

@@ -74,9 +74,25 @@ class StreamingServer:
         if topk is None:
             self._fwd = base
         else:
-            self._fwd = jax.jit(
-                lambda v, imgs, qids: jax.lax.top_k(base(v, imgs, qids), topk)
-            )
+            self._fwd = jax.jit(self._topk_wrap(base))
+
+    def _topk_wrap(self, base):
+        """Append top-k selection over REAL answers: index 0 (<unk>, never a
+        real answer — see AnswerVocab) and static-head padding past the
+        built vocab are masked out, matching predict_answer and the eval
+        argmax."""
+        import jax.numpy as jnp
+
+        k = self.topk
+        limit = min(len(self.p.answer_vocab), self.p.cfg.model.answer_vocab_size)
+
+        def fwd(v, *data):
+            logits = base(v, *data)
+            idx = jnp.arange(logits.shape[-1])
+            masked = jnp.where((idx == 0) | (idx >= limit), -1e30, logits)
+            return jax.lax.top_k(masked, k)
+
+        return fwd
 
     def _indexed_fwd(self, U: int):
         """Compiled dedup fan-out for a U-row unique-question bucket."""
@@ -85,12 +101,7 @@ class StreamingServer:
             if self.topk is None:
                 self._ifwd_cache[U] = base
             else:
-                k = self.topk
-                self._ifwd_cache[U] = jax.jit(
-                    lambda v, imgs, uq, qmap: jax.lax.top_k(
-                        base(v, imgs, uq, qmap), k
-                    )
-                )
+                self._ifwd_cache[U] = jax.jit(self._topk_wrap(base))
         return self._ifwd_cache[U]
 
     def _decode_worker(

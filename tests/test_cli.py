@@ -71,6 +71,36 @@ class TestEndToEnd:
         assert pred["question"] == "is the lung normal"
         assert len(pred["top"]) == 3
 
+    def test_serve_directory(self, cli_env, capsys):
+        """`serve` streams a directory with top-k fetch + question dedup."""
+        root, workdir = cli_env
+        if not (workdir / "checkpoints").exists():  # standalone run
+            main(
+                ["train", "--config", "tiny_test", "--workdir", str(workdir),
+                 "--set", "data.dataset=vqa_rad", "--set", f"data.data_dir={root}",
+                 "--set", "train.epochs=1"]
+            )
+            capsys.readouterr()
+        main(
+            [
+                "serve",
+                "--workdir", str(workdir),
+                "--image-dir", str(root / "images"),
+                "--question", "is the lung normal",
+                "--question", "what organ is shown",
+                "--batch", "2",
+                "--topk", "2",
+                "--dedup",
+            ]
+        )
+        out = capsys.readouterr().out.strip().splitlines()
+        rows = [json.loads(ln) for ln in out]
+        n_images = len(list((root / "images").iterdir()))
+        assert len(rows) == n_images
+        for r in rows:
+            assert len(r["answers"]) == 2
+            assert all(isinstance(a, str) and a != "<unk>" for a in r["answers"])
+
     def test_convert_roundtrip(self, cli_env, tmp_path, capsys):
         """torch checkpoint of the re-statement → orbax workdir → predict."""
         torch = pytest.importorskip("torch")

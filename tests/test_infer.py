@@ -138,8 +138,9 @@ class TestStreaming:
         assert len(server.errors) == 1
 
     def test_topk_mode_matches_full_logits(self, predictor):
-        """topk serving must yield the same ranked answers as the full-logit
-        path, at ~1/400th the device→host transfer."""
+        """topk serving must yield the same ranked REAL answers as the
+        full-logit path (index 0 <unk> and head padding excluded, matching
+        predict_answer), at ~1/400th the device→host transfer."""
         p, dm = predictor
         reqs = lambda: iter([(dm.train[0].image_path, ["is it normal", "b"])])
         full = StreamingServer(p, image_batch=1, questions_per_image=2)
@@ -149,7 +150,12 @@ class TestStreaming:
         [((vals, ids), n)] = list(topk.serve(reqs()))
         assert n == n_full == 2
         assert vals.shape == ids.shape == (2, k)
-        ref_ids = np.argsort(-logits, axis=-1)[:, :k]
+        limit = min(len(p.answer_vocab), p.cfg.model.answer_vocab_size)
+        masked = logits.copy()
+        masked[:, 0] = -np.inf
+        masked[:, limit:] = -np.inf
+        ref_ids = np.argsort(-masked, axis=-1)[:, :k]
+        assert (ids != 0).all() and (ids < limit).all()
         np.testing.assert_array_equal(ids, ref_ids)
         np.testing.assert_allclose(
             vals, np.take_along_axis(logits, ref_ids, -1), atol=1e-5
