@@ -119,6 +119,29 @@ class Predictor:
             self._forward_cache[key] = jax.jit(fwd)
         return self._forward_cache[key]
 
+    def _pairs_forward(self, B: int, U: int, P: int):
+        """Packed pair-list fan-out: P (image, question) pairs over B
+        encoded images and U unique questions (see answer_pairs). One
+        compiled program per (B, U, P) bucket."""
+        key = (B, U, P, "pairs")
+        if key not in self._forward_cache:
+
+            def fwd(variables, images, unique_ids, pair_img, pair_q):
+                img_tokens = self.model.apply(
+                    variables, images, method="encode_image"
+                )
+                return self.model.apply(
+                    variables,
+                    img_tokens,
+                    unique_ids,
+                    pair_img,
+                    pair_q,
+                    method="answer_pairs",
+                )
+
+            self._forward_cache[key] = jax.jit(fwd)
+        return self._forward_cache[key]
+
     def _fanout_forward_indexed(self, B: int, Q: int, U: int):
         """Deduplicated fan-out: encode U unique questions, gather per
         (image, question) pair via an index map. One compiled program per

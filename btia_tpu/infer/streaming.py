@@ -39,6 +39,7 @@ class StreamingServer:
         queue_depth: int = 4,
         topk: Optional[int] = None,
         dedup_questions: bool = False,
+        pack_pairs: bool = False,
     ):
         """`topk`: fetch only the top-k (value, answer-id) pairs per question
         instead of the full answer-vocab logits. Serving callers only need
@@ -52,7 +53,16 @@ class StreamingServer:
         BTIAADNet.answer_questions_indexed). Serving question streams are
         template-heavy, and the question tower is ~37% of the device step
         at B=16, Q=128, so this is the main fan-out throughput lever. One
-        program compiles per power-of-two unique-count bucket."""
+        program compiles per power-of-two unique-count bucket.
+
+        `pack_pairs`: the batching scheduler for UNEVEN question counts.
+        Instead of padding every image to Q question slots, the B images'
+        real questions pack densely into a (P,) pair list (P = sum(n_i),
+        bucketed) driving BTIAADNet.answer_pairs — no fan-out compute is
+        spent on padding slots. Implies question dedup. serve() then
+        yields exactly n rows per image: (logits (n, vocab), n), or
+        ((values (n, k), ids (n, k)), n) with topk. `questions_per_image`
+        remains the per-image cap."""
         self.p = predictor
         self.B = image_batch
         self.Q = questions_per_image
@@ -69,12 +79,14 @@ class StreamingServer:
         # pure Python and the host has one core.
         self._tok_memo: dict = {}
         self.dedup_questions = dedup_questions
+        self.pack_pairs = pack_pairs
         self._ifwd_cache: dict = {}
-        base = predictor._fanout_forward(self.B, self.Q)
-        if topk is None:
-            self._fwd = base
-        else:
-            self._fwd = jax.jit(self._topk_wrap(base))
+        if not pack_pairs:
+            base = predictor._fanout_forward(self.B, self.Q)
+            if topk is None:
+                self._fwd = base
+            else:
+                self._fwd = jax.jit(self._topk_wrap(base))
 
     def _topk_wrap(self, base):
         """Append top-k selection over REAL answers: index 0 (<unk>, never a
@@ -103,6 +115,24 @@ class StreamingServer:
             else:
                 self._ifwd_cache[U] = jax.jit(self._topk_wrap(base))
         return self._ifwd_cache[U]
+
+    def _pairs_fwd(self, U: int, P: int):
+        """Compiled packed fan-out for a (U, P) bucket."""
+        key = (U, P)
+        if key not in self._ifwd_cache:
+            base = self.p._pairs_forward(self.B, U, P)
+            if self.topk is None:
+                self._ifwd_cache[key] = base
+            else:
+                self._ifwd_cache[key] = jax.jit(self._topk_wrap(base))
+        return self._ifwd_cache[key]
+
+    @staticmethod
+    def _bucket_pow2(n: int, lo: int, hi: int) -> int:
+        b = lo
+        while b < n:
+            b *= 2
+        return min(b, hi)
 
     def _decode_worker(
         self,
@@ -165,43 +195,86 @@ class StreamingServer:
         t0 = time.perf_counter()
         wall_base = self.wall_seconds
 
+        BQ = self.B * self.Q
+
         def dispatch(items):
             imgs = np.stack([it[0] for it in items])
             qids = np.stack([it[1] for it in items])
             ns = [it[2] for it in items]
-            if self.dedup_questions:
-                flat = qids.reshape(self.B * self.Q, -1)
+            if self.pack_pairs:
+                # Dense pair packing: only the real (image, question) pairs
+                # occupy fan-out slots; unique questions encoded once.
+                rows = [it[1][: it[2]] for it in items if it[2] > 0]
+                flat = (
+                    np.concatenate(rows)
+                    if rows
+                    else np.zeros((0, qids.shape[-1]), qids.dtype)
+                )
                 uniq, inv = np.unique(flat, axis=0, return_inverse=True)
-                U = 32
-                while U < len(uniq):
-                    U *= 2
-                U = min(U, self.B * self.Q)
+                U = self._bucket_pow2(max(len(uniq), 1), 32, BQ)
+                upad = np.zeros((U - len(uniq), qids.shape[-1]), qids.dtype)
+                uniq = np.concatenate([uniq, upad]) if len(upad) else uniq
+                p_img = np.concatenate(
+                    [
+                        np.full(it[2], i, np.int32)
+                        for i, it in enumerate(items)
+                        if it[2] > 0
+                    ]
+                    or [np.zeros(0, np.int32)]
+                )
+                P = self._bucket_pow2(max(len(p_img), 1), 256, BQ)
+                pair_img = np.zeros(P, np.int32)
+                pair_q = np.zeros(P, np.int32)
+                pair_img[: len(p_img)] = p_img
+                pair_q[: len(p_img)] = inv.astype(np.int32)
+                meta, off = [], 0
+                for it in items:
+                    meta.append((it[2], off))
+                    off += max(it[2], 0)
+                out = self._pairs_fwd(U, P)(
+                    self.p.variables, imgs, uniq, pair_img, pair_q
+                )
+            elif self.dedup_questions:
+                flat = qids.reshape(BQ, -1)
+                uniq, inv = np.unique(flat, axis=0, return_inverse=True)
+                U = self._bucket_pow2(len(uniq), 32, BQ)
                 pad = np.zeros((U - len(uniq), flat.shape[1]), flat.dtype)
                 uniq = np.concatenate([uniq, pad]) if len(pad) else uniq
                 qmap = inv.reshape(self.B, self.Q).astype(np.int32)
                 out = self._indexed_fwd(U)(self.p.variables, imgs, uniq, qmap)
+                meta = [(n, 0) for n in ns]
             else:
                 out = self._fwd(self.p.variables, imgs, qids)
-            in_flight.append((out, ns))
+                meta = [(n, 0) for n in ns]
+            in_flight.append((out, meta))
 
         def drain(block_all: bool = False):
             # Keep ≤2 device batches in flight (double buffering).
             while in_flight and (block_all or len(in_flight) >= 2):
-                out, ns = in_flight.pop(0)
+                out, meta = in_flight.pop(0)
                 if self.topk is None:
                     host = np.asarray(jax.device_get(out))
-                    row = host.__getitem__
+                    if self.pack_pairs:
+                        row = lambda i, n, off: host[off : off + n]
+                    else:
+                        row = lambda i, n, off: host[i]
                 else:
                     vals, idxs = map(np.asarray, jax.device_get(out))
-                    row = lambda i: (vals[i], idxs[i])
-                for i, n in enumerate(ns):
+                    if self.pack_pairs:
+                        row = lambda i, n, off: (
+                            vals[off : off + n],
+                            idxs[off : off + n],
+                        )
+                    else:
+                        row = lambda i, n, off: (vals[i], idxs[i])
+                for i, (n, off) in enumerate(meta):
                     if n < 0:  # tail-padding row, not a real request
                         continue
                     self.pairs_processed += n
                     # Updated per yield: callers may abandon the generator
                     # (zip with a shorter iterable) before the epilogue.
                     self.wall_seconds = wall_base + time.perf_counter() - t0
-                    yield row(i), n
+                    yield row(i, n, off), n
 
         while done_workers < self.decode_threads:
             item = q.get()

@@ -225,6 +225,29 @@ class BTIAADNet(nn.Module):
         logits = self.fuse_and_answer(img_rep, txt, txt_mask, train)
         return logits.reshape(B, Q, -1)
 
+    def answer_pairs(
+        self,
+        img_tokens: jax.Array,  # (B, N_img, hidden) from encode_image
+        unique_ids: jax.Array,  # (U, S) deduplicated question token rows
+        pair_img: jax.Array,  # (P,) int32 image index per pair
+        pair_q: jax.Array,  # (P,) int32 unique-question index per pair
+        train: bool = False,
+    ) -> jax.Array:
+        """Fully packed pair-list fan-out → (P, vocab).
+
+        The most general serving entry: each of the P (image, question)
+        pairs names an image slot and a unique-question slot, so uneven
+        question counts per image pack densely instead of padding every
+        image to a fixed Q (the scheduler fills P = sum(n_i) slots,
+        bucketed). Static shapes throughout — B, U, P are compile-time;
+        the gathers are cheap HBM reads next to the per-pair fusion cost.
+        """
+        txt_u, mask_u = self.encode_question(unique_ids, None, train)
+        txt = jnp.take(txt_u, pair_q, axis=0)
+        txt_mask = jnp.take(mask_u, pair_q, axis=0)
+        img = jnp.take(img_tokens, pair_img, axis=0)
+        return self.fuse_and_answer(img, txt, txt_mask, train)
+
     def __call__(
         self,
         images: jax.Array,

@@ -182,6 +182,36 @@ class TestStreaming:
             assert na == nb
             np.testing.assert_allclose(la, lb, atol=2e-5, rtol=1e-5)
 
+    def test_pack_pairs_uneven_counts_match_plain(self, predictor):
+        """Pair packing (the uneven-question batching scheduler) must give
+        the same logits as the padded fan-out, yielding exactly n rows."""
+        p, dm = predictor
+        imgs = [s.image_path for s in dm.train[:3]]
+        reqs = lambda: iter(
+            [
+                (imgs[0], ["is it normal"]),
+                (imgs[1], ["is it normal", "what organ is shown", "q3"]),
+                (imgs[2], ["what organ is shown"]),
+            ]
+        )
+        plain = StreamingServer(
+            p, image_batch=2, questions_per_image=4, decode_threads=1
+        )
+        ref = list(plain.serve(reqs()))
+        packed = StreamingServer(
+            p,
+            image_batch=2,
+            questions_per_image=4,
+            pack_pairs=True,
+            decode_threads=1,
+        )
+        got = list(packed.serve(reqs()))
+        assert [n for _, n in got] == [n for _, n in ref] == [1, 3, 1]
+        assert packed.pairs_processed == 5
+        for (la, na), (lb, nb) in zip(ref, got):
+            assert lb.shape[0] == nb  # exactly n rows, no padding
+            np.testing.assert_allclose(la[:na], lb, atol=2e-5, rtol=1e-5)
+
     def test_serve_order_and_shapes(self, predictor, rng):
         p, dm = predictor
         server = StreamingServer(
