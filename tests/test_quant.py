@@ -34,8 +34,11 @@ class TestQuant:
         ref = x @ w
         w_i8, ws = quantize_weight(w)
         out = int8_matmul(x, w_i8, ws, out_dtype=jnp.float32)
-        rel = np.abs(np.asarray(out - ref)) / (np.abs(np.asarray(ref)) + 1e-3)
-        assert rel.mean() < 0.05, rel.mean()
+        # Normalize by the mean |ref|, not elementwise: the session-scoped
+        # rng means draws depend on suite order, and an elementwise ratio
+        # explodes on near-zero refs (observed flaking in the full suite).
+        rel = np.abs(np.asarray(out - ref)).mean() / np.abs(np.asarray(ref)).mean()
+        assert rel < 0.05, rel
 
     def test_batched_input(self, rng):
         x = jnp.asarray(rng.randn(2, 5, 64), jnp.float32)
