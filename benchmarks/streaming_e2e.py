@@ -56,12 +56,37 @@ def main() -> None:
     ap.add_argument("--batch", type=int, default=16)
     ap.add_argument("--questions", type=int, default=128)
     ap.add_argument("--dicom-size", type=int, default=512)
+    ap.add_argument(
+        "--mixed-syntax",
+        action="store_true",
+        help="write 1/4 of the corpus as JPEG-baseline and 1/4 as RLE "
+        "DICOMs (exercises the encapsulated decode + Python fallback in "
+        "the streaming loop; uncompressed rides the native C++ path)",
+    )
     ap.add_argument("--decode-threads", type=int, default=2)
     ap.add_argument("--topk", type=int, default=5)
     ap.add_argument(
         "--dedup",
         action="store_true",
         help="encode unique questions once per device batch (exact)",
+    )
+    ap.add_argument(
+        "--pack",
+        action="store_true",
+        help="pair-packed batching (implies dedup; shines with --uneven)",
+    )
+    ap.add_argument(
+        "--pair-budget",
+        type=int,
+        default=None,
+        help="fixed pair capacity per dispatch (packed mode); one compiled "
+        "program, batches close early when full",
+    )
+    ap.add_argument(
+        "--uneven",
+        action="store_true",
+        help="vary questions/image (cycle Q/8..Q) — the padded path wastes "
+        "fan-out slots, the packed path does not",
     )
     ap.add_argument("--json-only", action="store_true")
     args = ap.parse_args()
@@ -89,15 +114,29 @@ def main() -> None:
     model = build_model(cfg.model)
 
     # --- stage the DICOM corpus (excluded from timing) -------------------
+    from btia_tpu.data.dicom import JPEG_BASELINE, RLE_LOSSLESS
+
     rng = np.random.RandomState(0)
     root = Path(tempfile.mkdtemp(prefix="e2e_dicom_"))
     paths = []
     for i in range(args.images):
-        px = rng.randint(0, 4096, (args.dicom_size, args.dicom_size)).astype(
-            np.uint16
-        )
         p = root / f"img{i:04d}.dcm"
-        write_dicom(p, px, window=(2048.0, 4096.0))
+        if args.mixed_syntax and i % 4 == 1:
+            # JPEG baseline is 8-bit; window covers the full range.
+            px8 = rng.randint(0, 256, (args.dicom_size, args.dicom_size)).astype(
+                np.uint8
+            )
+            write_dicom(p, px8, transfer_syntax=JPEG_BASELINE)
+        elif args.mixed_syntax and i % 4 == 3:
+            px = rng.randint(0, 4096, (args.dicom_size, args.dicom_size)).astype(
+                np.uint16
+            )
+            write_dicom(p, px, window=(2048.0, 4096.0), transfer_syntax=RLE_LOSSLESS)
+        else:
+            px = rng.randint(0, 4096, (args.dicom_size, args.dicom_size)).astype(
+                np.uint16
+            )
+            write_dicom(p, px, window=(2048.0, 4096.0))
         paths.append(p)
 
     corpus_words = sorted({w for t in QUESTION_TEMPLATES for w in t.split() if "{" not in w} | set(ORGANS))
@@ -122,13 +161,21 @@ def main() -> None:
         decode_threads=args.decode_threads,
         topk=args.topk,
         dedup_questions=args.dedup,
+        pack_pairs=args.pack,
+        pair_budget=args.pair_budget,
+    )
+
+    counts = (
+        [max(args.questions // 8, 1) * m for m in (1, 2, 4, 8)]
+        if args.uneven
+        else [args.questions]
     )
 
     def requests(items):
         qi = 0
-        for p in items:
+        for j, p in enumerate(items):
             qs = []
-            for _ in range(args.questions):
+            for _ in range(counts[j % len(counts)]):
                 t = QUESTION_TEMPLATES[qi % len(QUESTION_TEMPLATES)]
                 qs.append(t.format(ORGANS[(qi // len(QUESTION_TEMPLATES)) % len(ORGANS)]))
                 qi += 1
@@ -165,6 +212,8 @@ def main() -> None:
             "dicom_px": args.dicom_size,
             "decode_threads": args.decode_threads,
             "dedup_questions": args.dedup,
+            "pack_pairs": args.pack,
+            "uneven": args.uneven,
             "wall_s": round(server.wall_seconds, 3),
             "compile_s": round(compile_s, 1),
         }

@@ -40,6 +40,7 @@ class StreamingServer:
         topk: Optional[int] = None,
         dedup_questions: bool = False,
         pack_pairs: bool = False,
+        pair_budget: Optional[int] = None,
     ):
         """`topk`: fetch only the top-k (value, answer-id) pairs per question
         instead of the full answer-vocab logits. Serving callers only need
@@ -62,7 +63,16 @@ class StreamingServer:
         spent on padding slots. Implies question dedup. serve() then
         yields exactly n rows per image: (logits (n, vocab), n), or
         ((values (n, k), ids (n, k)), n) with topk. `questions_per_image`
-        remains the per-image cap."""
+        remains the per-image cap.
+
+        `pair_budget` (packed mode): dispatch with a FIXED pair capacity,
+        closing a batch early (fewer than B images) when the next request
+        would overflow it. Without it, P buckets to the batch's real pair
+        count — but multi-threaded decode makes batch composition
+        nondeterministic, so bucket sizes thrash and each first-seen
+        (U, P) shape pays a program load (measured: the uneven e2e bench
+        never reached steady state). A fixed budget means ONE compiled
+        program; size it to the workload's B·mean(n) (e.g. B*Q//2)."""
         self.p = predictor
         self.B = image_batch
         self.Q = questions_per_image
@@ -80,6 +90,10 @@ class StreamingServer:
         self._tok_memo: dict = {}
         self.dedup_questions = dedup_questions
         self.pack_pairs = pack_pairs
+        # A budget below Q couldn't fit one full request.
+        self.pair_budget = (
+            max(pair_budget, questions_per_image) if pair_budget else None
+        )
         self._ifwd_cache: dict = {}
         if not pack_pairs:
             base = predictor._fanout_forward(self.B, self.Q)
@@ -222,7 +236,15 @@ class StreamingServer:
                     ]
                     or [np.zeros(0, np.int32)]
                 )
-                P = self._bucket_pow2(max(len(p_img), 1), 256, BQ)
+                if self.pair_budget:
+                    P = self.pair_budget  # fixed: one compiled program
+                else:
+                    # Coarse buckets (quarters of BQ) — fine-grained
+                    # power-of-two buckets thrash under multi-threaded
+                    # decode's nondeterministic batch composition.
+                    P = self._bucket_pow2(
+                        max(len(p_img), 1), max(BQ // 4, 1), BQ
+                    )
                 pair_img = np.zeros(P, np.int32)
                 pair_q = np.zeros(P, np.int32)
                 pair_img[: len(p_img)] = p_img
@@ -284,6 +306,21 @@ class StreamingServer:
             if isinstance(item, _DecodeError):
                 self.errors.append(item.exc)
                 continue
+            if (
+                self.pack_pairs
+                and self.pair_budget
+                and pending
+                and sum(max(it[2], 0) for it in pending) + item[2]
+                > self.pair_budget
+            ):
+                # Close early: the next request would overflow the fixed
+                # pair capacity. Pad the image slots and ship.
+                pad = pending[-1]
+                while len(pending) < self.B:
+                    pending.append((pad[0], pad[1], -1))
+                dispatch(pending)
+                pending = []
+                yield from drain()
             pending.append(item)
             if len(pending) == self.B:
                 dispatch(pending)

@@ -212,6 +212,30 @@ class TestStreaming:
             assert lb.shape[0] == nb  # exactly n rows, no padding
             np.testing.assert_allclose(la[:na], lb, atol=2e-5, rtol=1e-5)
 
+    def test_pair_budget_early_close_matches_plain(self, predictor):
+        """A fixed pair budget closes batches early (underfilled image
+        slots) but must not change any answer."""
+        p, dm = predictor
+        imgs = [s.image_path for s in dm.train[:4]]
+        qsets = [["a"], ["a", "b", "c"], ["b", "c"], ["a", "c"]]
+        reqs = lambda: iter(list(zip(imgs, qsets)))
+        plain = StreamingServer(
+            p, image_batch=2, questions_per_image=4, decode_threads=1
+        )
+        ref = list(plain.serve(reqs()))
+        budget = StreamingServer(
+            p,
+            image_batch=2,
+            questions_per_image=4,
+            pack_pairs=True,
+            pair_budget=4,  # forces early closes on the 3+2 sequence
+            decode_threads=1,
+        )
+        got = list(budget.serve(reqs()))
+        assert [n for _, n in got] == [n for _, n in ref] == [1, 3, 2, 2]
+        for (la, na), (lb, nb) in zip(ref, got):
+            np.testing.assert_allclose(la[:na], lb, atol=2e-5, rtol=1e-5)
+
     def test_serve_order_and_shapes(self, predictor, rng):
         p, dm = predictor
         server = StreamingServer(
