@@ -51,3 +51,36 @@ def make_sharded_serve_fn(
         return logits
 
     return jax.jit(serve)
+
+
+def make_sharded_serve_indexed_fn(
+    model: BTIAADNet, mesh: Mesh, topk: int = 0
+) -> Callable:
+    """Unique-question-dedup variant of `make_sharded_serve_fn`:
+    serve(variables, images (B,·), unique_ids (U,S), qmap (B,Q)).
+
+    The unique-question rows shard over 'data' (each chip encodes U/dp of
+    the question tower), then the per-pair gather pulls from the sharded
+    features — XLA inserts the all-gather over ICI (txt features are
+    ~U·S·D·2 bytes, a few MB at serving sizes, so the collective is
+    cheap next to the 32× tower saving). B and U must divide the data
+    axis."""
+    b_sh = batch_sharding(mesh)
+
+    def serve(variables, images, unique_ids, qmap):
+        images = jax.lax.with_sharding_constraint(images, b_sh)
+        unique_ids = jax.lax.with_sharding_constraint(unique_ids, b_sh)
+        qmap = jax.lax.with_sharding_constraint(qmap, b_sh)
+        img_tokens = model.apply(variables, images, method="encode_image")
+        logits = model.apply(
+            variables,
+            img_tokens,
+            unique_ids,
+            qmap,
+            method="answer_questions_indexed",
+        )
+        if topk:
+            return jax.lax.top_k(logits, topk)
+        return logits
+
+    return jax.jit(serve)

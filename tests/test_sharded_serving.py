@@ -8,7 +8,11 @@ import numpy as np
 import pytest
 
 from btia_tpu.configs import get_config
-from btia_tpu.infer.sharded import make_sharded_serve_fn, shard_serving_params
+from btia_tpu.infer.sharded import (
+    make_sharded_serve_fn,
+    make_sharded_serve_indexed_fn,
+    shard_serving_params,
+)
 from btia_tpu.models.model import build_model
 from btia_tpu.parallel.mesh import MeshConfig, make_mesh
 
@@ -70,6 +74,32 @@ class TestShardedServing:
         out = make_sharded_serve_fn(model, mesh)(sharded_vars, images, qids)
         np.testing.assert_allclose(
             np.asarray(single), np.asarray(out), atol=1e-4
+        )
+
+    def test_indexed_dp4_tp2_matches_plain(self, serving_setup):
+        """Dedup serving on the mesh: unique tower sharded over 'data',
+        per-pair gather crosses shards via XLA collectives — must equal
+        the plain per-pair path bit-for-bit shapes aside."""
+        model, variables, images, qids = serving_setup
+        B, Q, S = qids.shape
+        flat = qids.reshape(B * Q, S)
+        uniq, inv = np.unique(flat, axis=0, return_inverse=True)
+        U = 8  # pad to divide the data axis
+        while U < len(uniq):
+            U *= 2
+        uniq = np.concatenate(
+            [uniq, np.zeros((U - len(uniq), S), flat.dtype)]
+        )
+        qmap = inv.reshape(B, Q).astype(np.int32)
+
+        mesh = make_mesh(MeshConfig(data=4, model=2))
+        sharded_vars = shard_serving_params(variables, mesh)
+        ref = make_sharded_serve_fn(model, mesh)(sharded_vars, images, qids)
+        out = make_sharded_serve_indexed_fn(model, mesh)(
+            sharded_vars, images, uniq, qmap
+        )
+        np.testing.assert_allclose(
+            np.asarray(ref), np.asarray(out), atol=1e-4
         )
 
     def test_topk_output(self, serving_setup):
