@@ -13,6 +13,7 @@ from __future__ import annotations
 import queue
 import threading
 import time
+from collections import OrderedDict
 from typing import Callable, Iterable, Iterator, List, Optional, Sequence, Tuple
 
 import jax
@@ -86,8 +87,10 @@ class StreamingServer:
         self.errors: List[Exception] = []
         # Questions repeat heavily across images in VQA serving (template
         # questions); memoize host-side tokenization — WordPiece encode is
-        # pure Python and the host has one core.
-        self._tok_memo: dict = {}
+        # pure Python and the host has one core. Bounded: a long-running
+        # server over an open-ended stream must not grow without limit.
+        self._tok_memo: "OrderedDict" = OrderedDict()
+        self._tok_memo_cap = 65536
         self.dedup_questions = dedup_questions
         self.pack_pairs = pack_pairs
         # A budget below Q couldn't fit one full request.
@@ -177,6 +180,8 @@ class StreamingServer:
                         if ids is None:
                             ids = self.p._tokenize([qtext])[0]
                             self._tok_memo[qtext] = ids
+                            if len(self._tok_memo) > self._tok_memo_cap:
+                                self._tok_memo.popitem(last=False)  # LRU-ish
                         qids[j] = ids
                 except Exception as e:  # bad request: report, keep serving
                     out_q.put(_DecodeError(e))
