@@ -189,10 +189,10 @@ def main() -> None:
     server.pairs_processed = 0
     server.wall_seconds = 0.0
 
-    served = 0
-    for (_vals, _ids), n in server.serve(requests(paths)):
-        served += 1
-    assert served == args.images, (served, args.images)
+    seen = set()
+    for idx, (_vals, _ids), n in server.serve(requests(paths)):
+        seen.add(idx)
+    assert len(seen) == args.images, (len(seen), args.images)
     assert not server.errors, server.errors[:3]
 
     pps = server.pairs_per_second

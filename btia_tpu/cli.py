@@ -133,7 +133,10 @@ def cmd_serve(args) -> None:
     )
     limit = min(len(p.answer_vocab), p.cfg.model.answer_vocab_size)
     reqs = ((str(f), questions) for f in images)
-    for path, (out, n) in zip(images, server.serve(reqs)):
+    # Results arrive in COMPLETION order with the request index — decode
+    # threads reorder requests, so indexing (not zipping) attributes each
+    # answer row to the right image, even when bad files are skipped.
+    for idx, out, n in server.serve(reqs):
         if args.topk:
             _vals, ids = out  # already excludes <unk> + head padding
             answers = [p.answer_vocab.decode(int(ids[i, 0])) for i in range(n)]
@@ -144,7 +147,12 @@ def cmd_serve(args) -> None:
                 p.answer_vocab.decode(1 + int(np.argmax(out[i, 1:limit])))
                 for i in range(n)
             ]
-        print(json.dumps({"image": path.name, "answers": answers}))
+        print(json.dumps({"image": images[idx].name, "answers": answers}))
+    for idx, exc in server.errors:
+        print(
+            json.dumps({"image": images[idx].name, "error": str(exc)[:200]}),
+            file=sys.stderr,
+        )
     print(
         json.dumps(
             {

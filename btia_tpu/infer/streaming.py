@@ -26,7 +26,8 @@ from btia_tpu.infer.predict import ImageLike, Predictor
 class _DecodeError:
     """Queue envelope for a per-request decode/tokenize failure."""
 
-    def __init__(self, exc: Exception):
+    def __init__(self, idx: int, exc: Exception):
+        self.idx = idx
         self.exc = exc
 
 
@@ -82,9 +83,10 @@ class StreamingServer:
         self.topk = topk
         self.pairs_processed = 0
         self.wall_seconds = 0.0
-        # Per-request decode/tokenize failures (the request is skipped, the
-        # server keeps running); inspect after serve() completes.
-        self.errors: List[Exception] = []
+        # Per-request decode/tokenize failures as (request_index, exc) —
+        # the request is skipped, the server keeps running; inspect after
+        # serve() completes.
+        self.errors: List[Tuple[int, Exception]] = []
         # Questions repeat heavily across images in VQA serving (template
         # questions); memoize host-side tokenization — WordPiece encode is
         # pure Python and the host has one core. Bounded: a long-running
@@ -165,7 +167,7 @@ class StreamingServer:
             while True:
                 with lock:
                     try:
-                        item = next(src)
+                        idx, item = next(src)
                     except StopIteration:
                         break
                 image, questions = item
@@ -184,19 +186,25 @@ class StreamingServer:
                                 self._tok_memo.popitem(last=False)  # LRU-ish
                         qids[j] = ids
                 except Exception as e:  # bad request: report, keep serving
-                    out_q.put(_DecodeError(e))
+                    out_q.put(_DecodeError(idx, e))
                     continue
-                out_q.put((img, qids, n))
+                out_q.put((idx, img, qids, n))
         finally:
             out_q.put(None)
 
     def serve(
         self,
         requests: Iterable[Tuple[ImageLike, Sequence[str]]],
-    ) -> Iterator[Tuple[np.ndarray, int]]:
-        """Yields (logits (Q, vocab), n_valid_questions) per image, in order
-        of completion. Pads the tail to keep the compiled shape static."""
-        src = iter(requests)
+    ) -> Iterator[Tuple[int, object, int]]:
+        """Yields (request_index, result, n_valid_questions) per image, in
+        order of COMPLETION — multi-threaded decode reorders requests, so
+        the index is the only safe way to attribute answers (a zip against
+        the request list would mis-assign them, and skipped bad requests
+        would shift every later row). result is logits (Q, vocab) — or
+        (n, vocab) with pack_pairs, or (values, ids) with topk. Failed
+        requests appear in `self.errors` as (index, exception) and yield
+        nothing. Pads the tail to keep the compiled shape static."""
+        src = enumerate(iter(requests))
         q: "queue.Queue" = queue.Queue(maxsize=self.queue_depth * self.B)
         lock = threading.Lock()
         workers = [
@@ -217,13 +225,14 @@ class StreamingServer:
         BQ = self.B * self.Q
 
         def dispatch(items):
-            imgs = np.stack([it[0] for it in items])
-            qids = np.stack([it[1] for it in items])
-            ns = [it[2] for it in items]
+            # items: (request_idx, image, qids (Q, L), n) — idx -1 = pad.
+            imgs = np.stack([it[1] for it in items])
+            qids = np.stack([it[2] for it in items])
+            ns = [it[3] for it in items]
             if self.pack_pairs:
                 # Dense pair packing: only the real (image, question) pairs
                 # occupy fan-out slots; unique questions encoded once.
-                rows = [it[1][: it[2]] for it in items if it[2] > 0]
+                rows = [it[2][: it[3]] for it in items if it[3] > 0]
                 flat = (
                     np.concatenate(rows)
                     if rows
@@ -235,9 +244,9 @@ class StreamingServer:
                 uniq = np.concatenate([uniq, upad]) if len(upad) else uniq
                 p_img = np.concatenate(
                     [
-                        np.full(it[2], i, np.int32)
+                        np.full(it[3], i, np.int32)
                         for i, it in enumerate(items)
-                        if it[2] > 0
+                        if it[3] > 0
                     ]
                     or [np.zeros(0, np.int32)]
                 )
@@ -256,8 +265,8 @@ class StreamingServer:
                 pair_q[: len(p_img)] = inv.astype(np.int32)
                 meta, off = [], 0
                 for it in items:
-                    meta.append((it[2], off))
-                    off += max(it[2], 0)
+                    meta.append((it[0], it[3], off))
+                    off += max(it[3], 0)
                 out = self._pairs_fwd(U, P)(
                     self.p.variables, imgs, uniq, pair_img, pair_q
                 )
@@ -269,10 +278,10 @@ class StreamingServer:
                 uniq = np.concatenate([uniq, pad]) if len(pad) else uniq
                 qmap = inv.reshape(self.B, self.Q).astype(np.int32)
                 out = self._indexed_fwd(U)(self.p.variables, imgs, uniq, qmap)
-                meta = [(n, 0) for n in ns]
+                meta = [(it[0], it[3], 0) for it in items]
             else:
                 out = self._fwd(self.p.variables, imgs, qids)
-                meta = [(n, 0) for n in ns]
+                meta = [(it[0], it[3], 0) for it in items]
             in_flight.append((out, meta))
 
         def drain(block_all: bool = False):
@@ -294,14 +303,14 @@ class StreamingServer:
                         )
                     else:
                         row = lambda i, n, off: (vals[i], idxs[i])
-                for i, (n, off) in enumerate(meta):
+                for i, (idx, n, off) in enumerate(meta):
                     if n < 0:  # tail-padding row, not a real request
                         continue
                     self.pairs_processed += n
                     # Updated per yield: callers may abandon the generator
-                    # (zip with a shorter iterable) before the epilogue.
+                    # early (stop iterating) before the epilogue runs.
                     self.wall_seconds = wall_base + time.perf_counter() - t0
-                    yield row(i, n, off), n
+                    yield idx, row(i, n, off), n
 
         while done_workers < self.decode_threads:
             item = q.get()
@@ -309,20 +318,20 @@ class StreamingServer:
                 done_workers += 1
                 continue
             if isinstance(item, _DecodeError):
-                self.errors.append(item.exc)
+                self.errors.append((item.idx, item.exc))
                 continue
             if (
                 self.pack_pairs
                 and self.pair_budget
                 and pending
-                and sum(max(it[2], 0) for it in pending) + item[2]
+                and sum(max(it[3], 0) for it in pending) + item[3]
                 > self.pair_budget
             ):
                 # Close early: the next request would overflow the fixed
                 # pair capacity. Pad the image slots and ship.
                 pad = pending[-1]
                 while len(pending) < self.B:
-                    pending.append((pad[0], pad[1], -1))
+                    pending.append((-1, pad[1], pad[2], -1))
                 dispatch(pending)
                 pending = []
                 yield from drain()
@@ -334,7 +343,7 @@ class StreamingServer:
         if pending:
             pad = pending[-1]
             while len(pending) < self.B:
-                pending.append((pad[0], pad[1], -1))
+                pending.append((-1, pad[1], pad[2], -1))
             dispatch(pending)
         yield from drain(block_all=True)
         self.wall_seconds = wall_base + time.perf_counter() - t0

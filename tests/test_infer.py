@@ -89,7 +89,7 @@ class TestStreaming:
         p, dm = predictor
         server = StreamingServer(p, image_batch=2, questions_per_image=2)
         reqs = [(dm.train[0].image_path, ["a", "b", "c", "d"])]
-        [(logits, n)] = list(server.serve(iter(reqs)))
+        [(_i, logits, n)] = list(server.serve(iter(reqs)))
         assert n == 2  # capped at questions_per_image
         assert logits.shape[0] == 2
 
@@ -116,7 +116,11 @@ class TestStreaming:
         ]
         results = list(server.serve(iter(reqs)))
         assert len(results) == 2  # bad request skipped
-        assert len(server.errors) == 1
+        # Indices attribute results to the RIGHT requests even though the
+        # bad one was dropped (a positional zip would shift row 2).
+        assert sorted(i for i, _, _ in results) == [0, 2]
+        [(bad_idx, exc)] = server.errors
+        assert bad_idx == 1 and isinstance(exc, Exception)
         assert server.pairs_processed == 2
 
     def test_corrupt_dicom_survived(self, predictor, tmp_path, rng):
@@ -144,10 +148,10 @@ class TestStreaming:
         p, dm = predictor
         reqs = lambda: iter([(dm.train[0].image_path, ["is it normal", "b"])])
         full = StreamingServer(p, image_batch=1, questions_per_image=2)
-        [(logits, n_full)] = list(full.serve(reqs()))
+        [(_i, logits, n_full)] = list(full.serve(reqs()))
         k = 3
         topk = StreamingServer(p, image_batch=1, questions_per_image=2, topk=k)
-        [((vals, ids), n)] = list(topk.serve(reqs()))
+        [(_i, (vals, ids), n)] = list(topk.serve(reqs()))
         assert n == n_full == 2
         assert vals.shape == ids.shape == (2, k)
         limit = min(len(p.answer_vocab), p.cfg.model.answer_vocab_size)
@@ -178,8 +182,12 @@ class TestStreaming:
         )
         got = list(dd.serve(reqs()))
         assert len(ref) == len(got) == 3
-        for (la, na), (lb, nb) in zip(ref, got):
-            assert na == nb
+        # Completion order differs between servers (threaded decode);
+        # the request index is the alignment key.
+        ref.sort(key=lambda r: r[0])
+        got.sort(key=lambda r: r[0])
+        for (ia, la, na), (ib, lb, nb) in zip(ref, got):
+            assert na == nb and ia == ib
             np.testing.assert_allclose(la, lb, atol=2e-5, rtol=1e-5)
 
     def test_pack_pairs_uneven_counts_match_plain(self, predictor):
@@ -206,9 +214,10 @@ class TestStreaming:
             decode_threads=1,
         )
         got = list(packed.serve(reqs()))
-        assert [n for _, n in got] == [n for _, n in ref] == [1, 3, 1]
+        assert [n for _, _, n in got] == [n for _, _, n in ref] == [1, 3, 1]
+        assert [i for i, _, _ in got] == [i for i, _, _ in ref] == [0, 1, 2]
         assert packed.pairs_processed == 5
-        for (la, na), (lb, nb) in zip(ref, got):
+        for (_, la, na), (_, lb, nb) in zip(ref, got):
             assert lb.shape[0] == nb  # exactly n rows, no padding
             np.testing.assert_allclose(la[:na], lb, atol=2e-5, rtol=1e-5)
 
@@ -232,8 +241,9 @@ class TestStreaming:
             decode_threads=1,
         )
         got = list(budget.serve(reqs()))
-        assert [n for _, n in got] == [n for _, n in ref] == [1, 3, 2, 2]
-        for (la, na), (lb, nb) in zip(ref, got):
+        assert [n for _, _, n in got] == [n for _, _, n in ref] == [1, 3, 2, 2]
+        assert [i for i, _, _ in got] == [0, 1, 2, 3]
+        for (_, la, na), (_, lb, nb) in zip(ref, got):
             np.testing.assert_allclose(la[:na], lb, atol=2e-5, rtol=1e-5)
 
     def test_serve_order_and_shapes(self, predictor, rng):
@@ -245,7 +255,8 @@ class TestStreaming:
         reqs = [(path, ["q one", "q two", "q three"]) for path in paths]
         results = list(server.serve(iter(reqs)))
         assert len(results) == 5
-        for logits, n in results:
+        assert sorted(i for i, _, _ in results) == [0, 1, 2, 3, 4]
+        for _, logits, n in results:
             assert n == 3
             assert logits.shape == (4, p.cfg.model.answer_vocab_size)
         assert server.pairs_processed == 15
