@@ -217,6 +217,9 @@ def _vqa_rad_lstm() -> Config:
             answer_vocab_size=512,
         ),
         data=DataConfig(dataset="vqa_rad", closed_only=True),
+        # Scanned multi-step training (equivalence-tested; measured 232x
+        # step wall-time on dispatch-heavy links, benchmarks/train_bench.py)
+        train=TrainConfig(steps_per_call=8),
     )
 
 
@@ -235,6 +238,7 @@ def _slake_bert() -> Config:
             answer_vocab_size=512,
         ),
         data=DataConfig(dataset="slake", language="en"),
+        train=TrainConfig(steps_per_call=8),
     )
 
 
@@ -254,6 +258,7 @@ def _pathvqa_vit() -> Config:
             num_answer_queries=256,  # factorized AD head for the large vocab
         ),
         data=DataConfig(dataset="pathvqa", answer_top_k=4096),
+        train=TrainConfig(steps_per_call=8),
     )
 
 
@@ -272,6 +277,7 @@ def _vqa_med_full() -> Config:
             answer_vocab_size=2048,
         ),
         data=DataConfig(dataset="vqa_med"),
+        train=TrainConfig(steps_per_call=8),
     )
 
 

@@ -32,11 +32,29 @@ def shard_serving_params(variables: dict, mesh: Mesh) -> dict:
     return out
 
 
+def _topk_real_answers(logits, k: int, vocab_limit: Optional[int]):
+    """top_k over REAL answers: index 0 (<unk>, never a real answer) and
+    static-head padding past the built vocab are masked out — the same
+    rule as predict_answer, the eval argmax, and StreamingServer's topk."""
+    import jax.numpy as jnp
+
+    idx = jnp.arange(logits.shape[-1])
+    bad = idx == 0
+    if vocab_limit is not None:
+        bad = bad | (idx >= vocab_limit)
+    return jax.lax.top_k(jnp.where(bad, -1e30, logits), k)
+
+
 def make_sharded_serve_fn(
-    model: BTIAADNet, mesh: Mesh, topk: int = 0
+    model: BTIAADNet,
+    mesh: Mesh,
+    topk: int = 0,
+    vocab_limit: Optional[int] = None,
 ) -> Callable:
     """Returns serve(variables, images (B,H,W,3) u8, qids (B,Q,L)) jit'd
-    over the mesh. B must divide the 'data' axis. topk>0 → (vals, idxs)."""
+    over the mesh. B must divide the 'data' axis. topk>0 → (vals, idxs)
+    over real answers only (<unk>/padding excluded; pass vocab_limit =
+    len(answer_vocab) to also mask the static head's padding slots)."""
     b_sh = batch_sharding(mesh)
 
     def serve(variables, images, qids):
@@ -47,14 +65,17 @@ def make_sharded_serve_fn(
             variables, img_tokens, qids, method="answer_questions"
         )
         if topk:
-            return jax.lax.top_k(logits, topk)
+            return _topk_real_answers(logits, topk, vocab_limit)
         return logits
 
     return jax.jit(serve)
 
 
 def make_sharded_serve_indexed_fn(
-    model: BTIAADNet, mesh: Mesh, topk: int = 0
+    model: BTIAADNet,
+    mesh: Mesh,
+    topk: int = 0,
+    vocab_limit: Optional[int] = None,
 ) -> Callable:
     """Unique-question-dedup variant of `make_sharded_serve_fn`:
     serve(variables, images (B,·), unique_ids (U,S), qmap (B,Q)).
@@ -80,7 +101,7 @@ def make_sharded_serve_indexed_fn(
             method="answer_questions_indexed",
         )
         if topk:
-            return jax.lax.top_k(logits, topk)
+            return _topk_real_answers(logits, topk, vocab_limit)
         return logits
 
     return jax.jit(serve)

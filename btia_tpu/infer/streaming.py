@@ -204,6 +204,10 @@ class StreamingServer:
         (n, vocab) with pack_pairs, or (values, ids) with topk. Failed
         requests appear in `self.errors` as (index, exception) and yield
         nothing. Pads the tail to keep the compiled shape static."""
+        # Throughput stats accumulate across serve() calls, but errors are
+        # per-call: stale (index, exc) pairs from a previous stream would
+        # mis-attribute failures to this stream's requests.
+        self.errors = []
         src = enumerate(iter(requests))
         q: "queue.Queue" = queue.Queue(maxsize=self.queue_depth * self.B)
         lock = threading.Lock()

@@ -106,6 +106,11 @@ class QuantizableDense(nn.Module):
         if int8:
             from btia_tpu.ops.quant import int8_matmul_fused, quantize_weight
 
+            # KNOWN COST (acceptable while int8_ffn stays off — measured
+            # negative end-to-end, BENCH_NOTES): quantize_weight runs
+            # inside the jitted forward, so serving re-reads the fp32
+            # kernel from HBM every step. If int8 ever wins, pre-quantize
+            # at weight-load time and feed w_i8/w_scale as variables.
             w_i8, w_scale = quantize_weight(kernel)
             y = int8_matmul_fused(
                 x.reshape(-1, x.shape[-1]).astype(cd),

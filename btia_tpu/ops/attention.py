@@ -285,12 +285,18 @@ def _fanout_kernel(q_ref, k_ref, v_ref, cmask_ref, o_ref, *, num_heads, scale):
     v = v_ref[:].reshape(bb * sk, hd)
     # Valid = same batch element AND unpadded key. cmask_ref comes in
     # pre-flattened to (1, bb*sk) f32 {0,1}; the block-diagonal part is an
-    # iota compare. exp-then-multiply gives exact masked softmax without
-    # gathers: the row max may include cross-batch scores, which only
-    # shifts the (shift-invariant) softmax.
+    # iota compare. The mask is applied as a -1e9 additive bias BEFORE the
+    # row max: shift-invariance of softmax holds mathematically for a
+    # post-mask max, but not in finite precision — a huge invalid score
+    # (cross-batch pair, garbage padded key) would push the shift so far
+    # that every VALID exp(s-m) underflows to 0 and the row's output
+    # silently collapses. Biasing first keeps the max over valid entries;
+    # masked entries underflow to exact 0 in the exp, preserving the
+    # exact-zero semantics the backward pass mirrors.
     rows_b = jax.lax.broadcasted_iota(jnp.int32, (bb * sq, bb * sk), 0) // sq
     cols_b = jax.lax.broadcasted_iota(jnp.int32, (bb * sq, bb * sk), 1) // sk
     mask = jnp.where(rows_b == cols_b, cmask_ref[0], 0.0)
+    neg_bias = (1.0 - mask) * 1e9
     outs = []
     for h in range(num_heads):
         sl = slice(h * d, (h + 1) * d)
@@ -300,6 +306,7 @@ def _fanout_kernel(q_ref, k_ref, v_ref, cmask_ref, o_ref, *, num_heads, scale):
             dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
+        s = s - neg_bias
         m = jnp.max(s, axis=-1, keepdims=True)
         e = jnp.exp(s - m) * mask
         denom = jnp.maximum(jnp.sum(e, axis=-1, keepdims=True), 1e-30)
@@ -388,9 +395,13 @@ def _fanout_bwd(num_heads, interpret, res, g):
     k4 = k.reshape(B, Sk, num_heads, D)
     v4 = v.reshape(B, Sk, num_heads, D)
     s = jnp.einsum("bqhd,bkhd->bhqk", q4, k4, preferred_element_type=jnp.float32)
-    s = s * scale
+    cm = colmask.astype(jnp.float32)[:, None, None, :]
+    # Mask-bias BEFORE the max, mirroring the forward kernel (see
+    # _fanout_kernel): a post-mask max is shift-invariant only in exact
+    # arithmetic; a huge invalid score would underflow every valid term.
+    s = s * scale - (1.0 - cm) * 1e9
     e = jnp.exp(s - jnp.max(s, axis=-1, keepdims=True))
-    e = e * colmask.astype(jnp.float32)[:, None, None, :]
+    e = e * cm
     p = e / jnp.maximum(jnp.sum(e, axis=-1, keepdims=True), 1e-30)
     g4 = g.reshape(B, Sq, num_heads, D).astype(jnp.float32)
     dv = jnp.einsum("bhqk,bqhd->bkhd", p, g4)

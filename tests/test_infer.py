@@ -141,6 +141,18 @@ class TestStreaming:
         assert len(results) == 2
         assert len(server.errors) == 1
 
+    def test_errors_reset_between_serve_calls(self, predictor):
+        """Stale errors from a previous stream must not be re-reported (and
+        mis-attributed by index) on the next serve() call."""
+        p, dm = predictor
+        server = StreamingServer(p, image_batch=1, questions_per_image=1)
+        good = dm.train[0].image_path
+        list(server.serve(iter([("/nonexistent/x.dcm", ["q"])])))
+        assert len(server.errors) == 1
+        results = list(server.serve(iter([(good, ["q"])])))
+        assert len(results) == 1
+        assert server.errors == []
+
     def test_topk_mode_matches_full_logits(self, predictor):
         """topk serving must yield the same ranked REAL answers as the
         full-logit path (index 0 <unk> and head padding excluded, matching

@@ -110,4 +110,8 @@ class TestShardedServing:
             sharded_vars, images, qids
         )
         assert vals.shape == (8, 4, 3)
-        assert np.asarray(idxs).max() < model.cfg.answer_vocab_size
+        idxs = np.asarray(idxs)
+        assert idxs.max() < model.cfg.answer_vocab_size
+        # <unk> (index 0) is never a real answer — same rule as every
+        # other serving/eval surface.
+        assert (idxs != 0).all()
