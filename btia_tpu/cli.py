@@ -65,12 +65,12 @@ def cmd_predict(args) -> None:
 
     p = Predictor.from_checkpoint(args.workdir, best=args.best)
     questions = args.question
+    from btia_tpu.ops.answers import real_limit, topn_real_np
+
     logits = p.predict_batch(args.image, questions)
     for q, l_ in zip(questions, logits):
-        # Index 0 is <unk> (never a real answer) and indices past the built
-        # vocab are static-head padding — exclude both from the top-k.
-        limit = min(len(p.answer_vocab), l_.shape[-1])
-        top = 1 + l_[1:limit].argsort()[-3:][::-1]
+        limit = real_limit(len(p.answer_vocab), l_.shape[-1])
+        top = topn_real_np(l_, 3, limit)
         answers = [
             {"answer": p.answer_vocab.decode(int(i)), "logit": float(l_[i])}
             for i in top
@@ -131,7 +131,9 @@ def cmd_serve(args) -> None:
         topk=args.topk,
         dedup_questions=args.dedup,
     )
-    limit = min(len(p.answer_vocab), p.cfg.model.answer_vocab_size)
+    from btia_tpu.ops.answers import argmax_real, real_limit
+
+    limit = real_limit(len(p.answer_vocab), p.cfg.model.answer_vocab_size)
     reqs = ((str(f), questions) for f in images)
     # Results arrive in COMPLETION order with the request index — decode
     # threads reorder requests, so indexing (not zipping) attributes each
@@ -142,9 +144,7 @@ def cmd_serve(args) -> None:
             answers = [p.answer_vocab.decode(int(ids[i, 0])) for i in range(n)]
         else:
             answers = [
-                # Skip index 0 (<unk>) and padding — same rule as
-                # predict_answer and the eval argmax.
-                p.answer_vocab.decode(1 + int(np.argmax(out[i, 1:limit])))
+                p.answer_vocab.decode(int(argmax_real(out[i], limit)))
                 for i in range(n)
             ]
         print(json.dumps({"image": images[idx].name, "answers": answers}))

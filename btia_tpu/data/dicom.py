@@ -430,6 +430,15 @@ def _read_parsed(data: bytes, meta_start: int, frame: int) -> DicomImage:
         px = _decode_encapsulated(
             fragments, ts, frame, num_frames, rows, cols, samples, bits
         )
+        # Encapsulated decoders (RLE planes, PIL for J2K 16-bit) produce
+        # unsigned arrays; PixelRepresentation=1 means the stored bits ARE
+        # two's-complement signed (common for CT, e.g. -1000 HU air) — a
+        # plain uint view would wrap -1000 to 64536 and silently corrupt
+        # the window/rescale. Reinterpret in place.
+        if signed and px.dtype == np.uint16:
+            px = px.view(np.int16)
+        elif signed and px.dtype == np.uint8:
+            px = px.view(np.int8)
     else:
         if TAG_PIXEL_DATA not in elements:
             raise DicomError("missing PixelData")

@@ -183,10 +183,11 @@ class Predictor:
         return np.asarray(jax.device_get(logits))[0, :n]
 
     def predict_answer(self, image: ImageLike, question: str) -> str:
+        from btia_tpu.ops.answers import argmax_real, real_limit
+
         logits = self.predict(image, question)
-        # Skip index 0 (<unk>) and static-head padding past the built vocab.
-        limit = min(len(self.answer_vocab), logits.shape[-1])
-        return self.answer_vocab.decode(1 + int(np.argmax(logits[1:limit])))
+        limit = real_limit(len(self.answer_vocab), logits.shape[-1])
+        return self.answer_vocab.decode(int(argmax_real(logits, limit)))
 
 
 def predict(

@@ -33,16 +33,13 @@ def shard_serving_params(variables: dict, mesh: Mesh) -> dict:
 
 
 def _topk_real_answers(logits, k: int, vocab_limit: Optional[int]):
-    """top_k over REAL answers: index 0 (<unk>, never a real answer) and
-    static-head padding past the built vocab are masked out — the same
-    rule as predict_answer, the eval argmax, and StreamingServer's topk."""
-    import jax.numpy as jnp
+    """top_k over REAL answers — ops/answers.py rule (no <unk>, no padding
+    past the built vocab when vocab_limit is given)."""
+    from btia_tpu.ops.answers import topk_real
 
-    idx = jnp.arange(logits.shape[-1])
-    bad = idx == 0
-    if vocab_limit is not None:
-        bad = bad | (idx >= vocab_limit)
-    return jax.lax.top_k(jnp.where(bad, -1e30, logits), k)
+    return topk_real(
+        logits, k, vocab_limit if vocab_limit else logits.shape[-1]
+    )
 
 
 def make_sharded_serve_fn(

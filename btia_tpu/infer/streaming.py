@@ -80,7 +80,10 @@ class StreamingServer:
         self.Q = questions_per_image
         self.decode_threads = decode_threads
         self.queue_depth = queue_depth
-        self.topk = topk
+        # topk=0 means "no top-k", same as None — callers pass user input
+        # (e.g. cli --topk) straight through, and a k=0 lax.top_k would
+        # yield empty tuples the full-logit consumers then crash on.
+        self.topk = topk or None
         self.pairs_processed = 0
         self.wall_seconds = 0.0
         # Per-request decode/tokenize failures as (request_index, exc) —
@@ -102,26 +105,23 @@ class StreamingServer:
         self._ifwd_cache: dict = {}
         if not pack_pairs:
             base = predictor._fanout_forward(self.B, self.Q)
-            if topk is None:
+            if self.topk is None:
                 self._fwd = base
             else:
                 self._fwd = jax.jit(self._topk_wrap(base))
 
     def _topk_wrap(self, base):
-        """Append top-k selection over REAL answers: index 0 (<unk>, never a
-        real answer — see AnswerVocab) and static-head padding past the
-        built vocab are masked out, matching predict_answer and the eval
-        argmax."""
-        import jax.numpy as jnp
+        """Append top-k selection over REAL answers (ops/answers.py rule:
+        no <unk>, no static-head padding — same as eval/predict_answer)."""
+        from btia_tpu.ops.answers import real_limit, topk_real
 
         k = self.topk
-        limit = min(len(self.p.answer_vocab), self.p.cfg.model.answer_vocab_size)
+        limit = real_limit(
+            len(self.p.answer_vocab), self.p.cfg.model.answer_vocab_size
+        )
 
         def fwd(v, *data):
-            logits = base(v, *data)
-            idx = jnp.arange(logits.shape[-1])
-            masked = jnp.where((idx == 0) | (idx >= limit), -1e30, logits)
-            return jax.lax.top_k(masked, k)
+            return topk_real(base(v, *data), k, limit)
 
         return fwd
 
@@ -232,7 +232,6 @@ class StreamingServer:
             # items: (request_idx, image, qids (Q, L), n) — idx -1 = pad.
             imgs = np.stack([it[1] for it in items])
             qids = np.stack([it[2] for it in items])
-            ns = [it[3] for it in items]
             if self.pack_pairs:
                 # Dense pair packing: only the real (image, question) pairs
                 # occupy fan-out slots; unique questions encoded once.

@@ -134,7 +134,17 @@ def int8_matmul_fused(
         block_m = 256 if K > 1024 else 512
     block_n = min(block_n, N)
     if N % block_n:
-        raise ValueError(f"N={N} must be a multiple of block_n={block_n}")
+        # Any output width must work (users override hidden_dim freely):
+        # pick the largest divisor of N ≤ block_n, preferring lane-aligned
+        # multiples of 128, instead of rejecting the shape at serve time.
+        block_n = next(
+            (
+                b
+                for b in range(block_n, 127, -1)
+                if N % b == 0 and b % 128 == 0
+            ),
+            next(b for b in range(min(block_n, N), 0, -1) if N % b == 0),
+        )
     Mp = _cdiv(M, block_m) * block_m
     if Mp != M:
         x = jnp.pad(x, ((0, Mp - M), (0, 0)))

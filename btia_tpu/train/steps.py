@@ -20,6 +20,7 @@ from jax.sharding import Mesh
 
 from btia_tpu.configs.config import Config
 from btia_tpu.models.model import BTIAADNet
+from btia_tpu.ops.answers import argmax_real
 from btia_tpu.parallel.sharding import batch_sharding, param_shardings, replicated
 
 
@@ -232,7 +233,7 @@ def make_eval_step(
         # encoded to 0 (OOV references) are scored incorrect — otherwise a
         # model predicting <unk> on an OOV reference counts as a match and
         # inflates open-ended accuracy.
-        preds = jnp.argmax(logits[..., 1:limit], -1) + 1
+        preds = argmax_real(logits, limit)
         answerable = batch["answer_ids"] != 0
         correct = (preds == batch["answer_ids"]) & answerable & batch["valid"]
         return {"preds": preds, "correct": correct}

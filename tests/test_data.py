@@ -143,6 +143,18 @@ class TestCompressedDicom:
         img = read_dicom(blob)
         np.testing.assert_array_equal(img.pixels, px)
 
+    def test_rle_signed_int16(self, rng):
+        """PixelRepresentation=1 with RLE: stored bits are two's-complement
+        (CT air = -1000 HU); a plain uint16 view would wrap it to 64536 and
+        silently corrupt window/rescale (review finding, round 2)."""
+        from btia_tpu.data.dicom import RLE_LOSSLESS
+
+        px = np.tile(np.array([[-1000, -1], [0, 3000]], np.int16), (8, 8))
+        blob = write_dicom(None, px, transfer_syntax=RLE_LOSSLESS)
+        img = read_dicom(blob)
+        assert img.pixels.dtype == np.int16
+        np.testing.assert_array_equal(img.pixels, px)
+
     def test_rle_rgb(self, rng):
         from btia_tpu.data.dicom import RLE_LOSSLESS
 
