@@ -182,6 +182,20 @@ class Predictor:
         logits = self._fanout_forward(1, Q)(self.variables, images, qids)
         return np.asarray(jax.device_get(logits))[0, :n]
 
+    def predict_answers(
+        self, image: ImageLike, questions: Sequence[str]
+    ) -> List[str]:
+        """Decoded answer strings for many questions, ONE image encode —
+        the string-level counterpart of predict_batch."""
+        from btia_tpu.ops.answers import argmax_real, real_limit
+
+        logits = self.predict_batch(image, questions)
+        limit = real_limit(len(self.answer_vocab), logits.shape[-1])
+        return [
+            self.answer_vocab.decode(int(i))
+            for i in argmax_real(logits, limit)
+        ]
+
     def predict_answer(self, image: ImageLike, question: str) -> str:
         from btia_tpu.ops.answers import argmax_real, real_limit
 

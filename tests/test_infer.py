@@ -62,6 +62,15 @@ class TestPredict:
         ans = p.predict_answer(dm.train[0].image_path, "is the lung normal")
         assert isinstance(ans, str) and ans
 
+    def test_predict_answers_batch_strings(self, predictor):
+        p, dm = predictor
+        img = dm.train[0].image_path
+        qs = ["is the lung normal", "what organ is shown"]
+        answers = p.predict_answers(img, qs)
+        assert len(answers) == 2
+        assert all(isinstance(a, str) and a != "<unk>" for a in answers)
+        assert answers[0] == p.predict_answer(img, qs[0])
+
     def test_predict_accepts_ndarray(self, predictor, rng):
         p, _ = predictor
         img = rng.randint(0, 255, (64, 64, 3)).astype(np.uint8)
