@@ -64,6 +64,7 @@ def main() -> None:
         "the streaming loop; uncompressed rides the native C++ path)",
     )
     ap.add_argument("--decode-threads", type=int, default=2)
+    ap.add_argument("--in-flight", type=int, default=2)
     ap.add_argument("--topk", type=int, default=5)
     ap.add_argument(
         "--dedup",
@@ -163,6 +164,7 @@ def main() -> None:
         dedup_questions=args.dedup,
         pack_pairs=args.pack,
         pair_budget=args.pair_budget,
+        max_in_flight=args.in_flight,
     )
 
     counts = (

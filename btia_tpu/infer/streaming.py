@@ -43,6 +43,7 @@ class StreamingServer:
         dedup_questions: bool = False,
         pack_pairs: bool = False,
         pair_budget: Optional[int] = None,
+        max_in_flight: int = 2,
     ):
         """`topk`: fetch only the top-k (value, answer-id) pairs per question
         instead of the full answer-vocab logits. Serving callers only need
@@ -102,6 +103,7 @@ class StreamingServer:
         self.pair_budget = (
             max(pair_budget, questions_per_image) if pair_budget else None
         )
+        self.max_in_flight = max(1, max_in_flight)
         self._ifwd_cache: dict = {}
         if not pack_pairs:
             base = predictor._fanout_forward(self.B, self.Q)
@@ -288,8 +290,12 @@ class StreamingServer:
             in_flight.append((out, meta))
 
         def drain(block_all: bool = False):
-            # Keep ≤2 device batches in flight (double buffering).
-            while in_flight and (block_all or len(in_flight) >= 2):
+            # Keep ≤max_in_flight device batches queued (double buffering
+            # by default; deeper pipelines smooth host scheduling jitter
+            # at the cost of latency and result-buffer memory).
+            while in_flight and (
+                block_all or len(in_flight) >= self.max_in_flight
+            ):
                 out, meta = in_flight.pop(0)
                 if self.topk is None:
                     host = np.asarray(jax.device_get(out))

@@ -267,6 +267,47 @@ class TestStreaming:
         for (_, la, na), (_, lb, nb) in zip(ref, got):
             np.testing.assert_allclose(la[:na], lb, atol=2e-5, rtol=1e-5)
 
+    def test_pack_pairs_randomized_accounting(self, predictor):
+        """Property test over the scheduler's bookkeeping: random uneven
+        question counts (including zero), a corrupt request, threaded
+        decode, early closes — every good request must be answered exactly
+        once with exactly its own n rows, and pairs_processed must equal
+        the true pair count."""
+        import numpy as np_
+
+        p, dm = predictor
+        rnd = np_.random.RandomState(7)
+        good = [s.image_path for s in dm.train[:4]]
+        reqs, expected = [], {}
+        for i in range(17):
+            if i == 5:
+                reqs.append(("/nonexistent/broken.dcm", ["q"]))
+                continue
+            n = int(rnd.randint(0, 5))  # 0..4 questions, cap Q=3 below
+            qs = [f"question number {rnd.randint(0, 6)}" for _ in range(n)]
+            reqs.append((good[i % 4], qs))
+            expected[i] = min(n, 3)
+        server = StreamingServer(
+            p,
+            image_batch=2,
+            questions_per_image=3,
+            pack_pairs=True,
+            pair_budget=4,
+            decode_threads=2,
+        )
+        got = {}
+        for idx, out, n in server.serve(iter(reqs)):
+            assert idx not in got, "request answered twice"
+            got[idx] = (out, n)
+        assert set(got) == set(expected)
+        for idx, (out, n) in got.items():
+            assert n == expected[idx]
+            rows = out.shape[0]
+            assert rows == n  # packed mode: exactly n rows
+        assert server.pairs_processed == sum(expected.values())
+        [(bad_idx, _)] = server.errors
+        assert bad_idx == 5
+
     def test_serve_order_and_shapes(self, predictor, rng):
         p, dm = predictor
         server = StreamingServer(
