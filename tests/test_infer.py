@@ -1,6 +1,7 @@
 """Inference API tests: predict contract [B:5], fan-out bucketing,
 streaming server [B:11]."""
 
+import jax.numpy as jnp
 import numpy as np
 import pytest
 
@@ -38,6 +39,30 @@ class TestBucketing:
         assert _bucket(3) == 4
         assert _bucket(64) == 64
         assert _bucket(65) == 128
+
+
+class TestAnswerRule:
+    """ops/answers.py — the single source of the real-answer rule."""
+
+    def test_argmax_real_skips_unk_and_padding(self):
+        from btia_tpu.ops.answers import argmax_real, real_limit
+
+        logits = np.array([9.0, 1.0, 5.0, 2.0, 8.0, 7.0])  # <unk> is max
+        limit = real_limit(4, 6)  # vocab built 4 of head 6 → pad 4,5 out
+        assert int(argmax_real(logits, limit)) == 2
+        batch = np.stack([logits, logits[::-1].copy()])
+        np.testing.assert_array_equal(argmax_real(batch, limit), [2, 1])
+
+    def test_topk_real_matches_numpy(self):
+        from btia_tpu.ops.answers import topk_real, topn_real_np
+
+        rng_ = np.random.RandomState(3)
+        logits = rng_.randn(5, 16).astype(np.float32)
+        vals, ids = topk_real(jnp.asarray(logits), 3, 12)
+        np.testing.assert_array_equal(
+            np.asarray(ids), topn_real_np(logits, 3, 12)
+        )
+        assert (np.asarray(ids) != 0).all() and (np.asarray(ids) < 12).all()
 
 
 class TestPredict:
