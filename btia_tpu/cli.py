@@ -41,6 +41,9 @@ def cmd_train(args) -> None:
 
     cfg = get_config(args.config, **_parse_overrides(args.set))
     trainer = Trainer(cfg, args.workdir)
+    # SIGTERM (TPU maintenance/preemption) → finish the in-flight step,
+    # checkpoint, exit cleanly; resume continues bit-identically.
+    trainer.install_preemption_handler()
     if args.resume:
         resumed = trainer.resume_if_available()
         print(f"resume: {'ok' if resumed else 'no checkpoint found'}")

@@ -166,7 +166,18 @@ class Config:
             if parts[1] not in field_types:
                 raise KeyError(f"no config field {key}")
             current = getattr(section, parts[1])
-            if current is not None and not isinstance(value, type(current)):
+            if isinstance(current, bool) and isinstance(value, str):
+                # bool('False') is True — coerce the text explicitly so
+                # `--set model.remat=False` / `=no` disables rather than
+                # silently enabling the flag.
+                low = value.strip().lower()
+                if low in ("true", "1", "yes", "on"):
+                    value = True
+                elif low in ("false", "0", "no", "off"):
+                    value = False
+                else:
+                    raise ValueError(f"{key}: not a boolean: {value!r}")
+            elif current is not None and not isinstance(value, type(current)):
                 value = type(current)(value)
             section = dataclasses.replace(section, **{parts[1]: value})
             cfg = dataclasses.replace(cfg, **{parts[0]: section})

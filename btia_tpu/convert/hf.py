@@ -215,7 +215,6 @@ def merge_encoder_params(variables: Dict, subtree: Dict, scope: str) -> Dict:
             )
         return np.asarray(new, old_arr.dtype)
 
-    out = jax.tree.map(lambda x: x, variables)  # shallow-ish copy
     out = {k: dict(v) for k, v in variables.items()}
     for coll in ("params", "batch_stats"):
         if coll in subtree and coll in out and scope in out[coll]:

@@ -508,9 +508,16 @@ def _decode_encapsulated(
 # ---------------------------------------------------------------------------
 
 
+# Text VRs pad odd lengths with SPACE (PS3.5 §6.2); UI and binary VRs pad
+# with NUL. The in-repo reader strips both, but externally-read fixtures
+# should be conformant.
+_TEXT_VRS = {b"AE", b"AS", b"CS", b"DA", b"DS", b"DT", b"IS", b"LO", b"LT",
+             b"PN", b"SH", b"ST", b"TM", b"UC", b"UR", b"UT"}
+
+
 def _element(group: int, elem: int, vr: bytes, value: bytes) -> bytes:
     if len(value) % 2:
-        value += b"\x00" if vr != b"UI" else b"\x00"
+        value += b" " if vr in _TEXT_VRS else b"\x00"
     head = struct.pack("<HH", group, elem)
     if vr in _LONG_VRS:
         return head + vr + b"\x00\x00" + struct.pack("<I", len(value)) + value

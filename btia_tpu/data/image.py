@@ -55,14 +55,23 @@ def load_ingest_image(src: Union[str, Path, bytes], ingest_size: int) -> np.ndar
     (GIL-free, single pass — the streaming hot path [B:11]); everything
     else / fallback uses the Python reference implementations.
     """
+    is_dicom = False
     if isinstance(src, (str, Path)):
         path = Path(src)
         if path.suffix.lower() in _DICOM_SUFFIXES:
+            # Keep the suffix hint: raw-dataset DICOMs (no 128-byte
+            # preamble / 'DICM' magic) are supported by read_dicom but
+            # fail the magic probe — without the hint they'd fall through
+            # to PIL and raise UnidentifiedImageError.
+            is_dicom = True
             src = path.read_bytes()
-    if isinstance(src, bytes) and _is_dicom_bytes(src):
+    if isinstance(src, bytes) and (is_dicom or _is_dicom_bytes(src)):
         from btia_tpu.data import native
 
         out = native.dicom_decode_resize(src, ingest_size, ingest_size)
         if out is not None:
             return out
+        from btia_tpu.data.dicom import read_dicom as _read
+
+        return resize_uint8(_read(src).to_rgb_uint8(), ingest_size)
     return resize_uint8(decode_image(src), ingest_size)

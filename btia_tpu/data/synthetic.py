@@ -168,13 +168,17 @@ def generate_synthetic_pathvqa(root: Path, num_images: int = 4, seed: int = 2):
 def generate_synthetic_vqa_med(root: Path, num_images: int = 4, seed: int = 3):
     """VQA-Med / ImageCLEF-2019 format [B:10]: QAPairsByCategory txts."""
     root = Path(root)
+    # Static per-split offsets: str hash() is randomized per process
+    # (PYTHONHASHSEED), which silently broke the "deterministic fixtures"
+    # contract across processes.
+    split_offsets = {"Train": 0, "Val": 1, "Test": 2}
     for split in ("Train", "Val", "Test"):
         split_dir = root / split
         img_dir = split_dir / "images"
         cat_dir = split_dir / "QAPairsByCategory"
         img_dir.mkdir(parents=True, exist_ok=True)
         cat_dir.mkdir(parents=True, exist_ok=True)
-        rng = np.random.RandomState(seed + hash(split) % 100)
+        rng = np.random.RandomState(seed + split_offsets[split])
         c1, c3 = [], []
         for i in range(num_images):
             name = f"synpic{split.lower()}{i}"

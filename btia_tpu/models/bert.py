@@ -77,14 +77,14 @@ class BertQuestionEncoder(nn.Module):
         if mask is None:
             mask = token_ids > 0  # WordPiece PAD = 0
         B, S = token_ids.shape
-        embed = lambda n, v, name: nn.Embed(
+        embed = lambda v, name: nn.Embed(
             v, s.dim, name=name, dtype=self.policy.compute_dtype,
             param_dtype=self.policy.param_dtype,
         )
-        words = embed(S, s.vocab_size, "word_embed")(token_ids)
+        words = embed(s.vocab_size, "word_embed")(token_ids)
         pos_ids = jnp.arange(S)[None, :]
-        pos = embed(S, s.max_len, "pos_embed")(pos_ids)
-        types = embed(S, s.type_vocab, "type_embed")(jnp.zeros_like(token_ids))
+        pos = embed(s.max_len, "pos_embed")(pos_ids)
+        types = embed(s.type_vocab, "type_embed")(jnp.zeros_like(token_ids))
         x = nn.LayerNorm(
             epsilon=s.ln_eps,
             name="ln_embed",

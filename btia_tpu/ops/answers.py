@@ -30,7 +30,13 @@ def argmax_real(logits, limit: int):
 
 
 def topk_real(logits: jax.Array, k: int, limit: int):
-    """(values, ids) of the k best real answers — jit/TPU path."""
+    """(values, ids) of the k best real answers — jit/TPU path.
+
+    k is clamped to the number of REAL answers (limit-1; ids 1..limit-1):
+    beyond that lax.top_k would either crash (k > head size) or return
+    masked slots that decode to '<unk>' rows presented as ranked answers.
+    """
+    k = max(1, min(k, limit - 1, logits.shape[-1]))
     idx = jnp.arange(logits.shape[-1])
     masked = jnp.where((idx == 0) | (idx >= limit), -1e30, logits)
     return jax.lax.top_k(masked, k)

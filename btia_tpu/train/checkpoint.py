@@ -28,6 +28,15 @@ class Checkpointer:
                 max_to_keep=max_to_keep, create=True
             ),
         )
+        # The best checkpoint lives in its OWN single-slot manager: the
+        # rotating manager's max_to_keep would delete the best step as
+        # soon as it is older than the last K saves (the normal val-curve
+        # shape), leaving best.json pointing at a deleted directory and
+        # restore(best=True) raising FileNotFoundError.
+        self.best_manager = ocp.CheckpointManager(
+            self.directory / "best_ckpt",
+            options=ocp.CheckpointManagerOptions(max_to_keep=1, create=True),
+        )
         self._best_metric: Optional[float] = self._read_best()[1]
 
     # -- state ------------------------------------------------------------
@@ -46,14 +55,17 @@ class Checkpointer:
         self, state: TrainState, metric: Optional[float] = None
     ) -> None:
         step = int(jax.device_get(state.step))
-        self.manager.save(step, args=ocp.args.StandardSave(self._savable(state)))
+        savable = self._savable(state)
+        self.manager.save(step, args=ocp.args.StandardSave(savable))
         if metric is not None and (
             self._best_metric is None or metric > self._best_metric
         ):
             self._best_metric = metric
+            self.best_manager.save(step, args=ocp.args.StandardSave(savable))
             (self.directory / "best.json").write_text(
                 json.dumps({"step": step, "metric": metric})
             )
+            self.best_manager.wait_until_finished()
         self.manager.wait_until_finished()
 
     def _read_best(self) -> Tuple[Optional[int], Optional[float]]:
@@ -70,15 +82,23 @@ class Checkpointer:
         self, state_template: TrainState, step: Optional[int] = None,
         best: bool = False,
     ) -> TrainState:
+        manager = self.manager
         if best:
-            step = self._read_best()[0]
+            bstep = self.best_manager.latest_step()
+            if bstep is not None:
+                manager, step = self.best_manager, bstep
+            else:
+                # Legacy layout: best.json pointing into the rotating
+                # manager (may have been garbage-collected — pre-fix runs).
+                step = self._read_best()[0]
         if step is None:
             step = self.manager.latest_step()
+            manager = self.manager
         if step is None:
             raise FileNotFoundError(f"no checkpoint in {self.directory}")
         target = self._savable(state_template)
         abstract = jax.tree.map(ocp.utils.to_shape_dtype_struct, target)
-        restored = self.manager.restore(
+        restored = manager.restore(
             step, args=ocp.args.StandardRestore(abstract)
         )
         return state_template.replace(

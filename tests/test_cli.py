@@ -29,6 +29,17 @@ class TestOverrides:
         with pytest.raises(SystemExit):
             _parse_overrides(["nonsense"])
 
+    def test_bool_override_text_forms(self):
+        """bool('False') is True — `--set model.remat=False` used to
+        silently ENABLE the flag (review finding, round 2)."""
+        from btia_tpu.configs import get_config
+
+        assert get_config("tiny_test", **{"model.remat": "False"}).model.remat is False
+        assert get_config("tiny_test", **{"model.remat": "no"}).model.remat is False
+        assert get_config("tiny_test", **{"model.remat": "True"}).model.remat is True
+        with pytest.raises(ValueError):
+            get_config("tiny_test", **{"model.remat": "maybe"})
+
 
 class TestEndToEnd:
     def test_train_eval_predict(self, cli_env, capsys):

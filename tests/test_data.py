@@ -143,6 +143,22 @@ class TestCompressedDicom:
         img = read_dicom(blob)
         np.testing.assert_array_equal(img.pixels, px)
 
+    def test_preambleless_dcm_via_ingest(self, rng, tmp_path):
+        """A raw-dataset DICOM (no 128-byte preamble / DICM magic) saved
+        as .dcm must load through load_ingest_image via the suffix hint —
+        it used to fall through to PIL and raise UnidentifiedImageError
+        while read_dicom itself supported the format."""
+        from btia_tpu.data.image import load_ingest_image
+
+        px = (rng.rand(40, 40) * 3000).astype(np.uint16)
+        blob = write_dicom(None, px)
+        raw = blob[132:]  # strip preamble + magic → raw dataset
+        assert read_dicom(raw).pixels.shape == (40, 40)  # reader supports it
+        p = tmp_path / "raw.dcm"
+        p.write_bytes(raw)
+        out = load_ingest_image(p, 64)
+        assert out.shape == (64, 64, 3) and out.dtype == np.uint8
+
     def test_rle_signed_int16(self, rng):
         """PixelRepresentation=1 with RLE: stored bits are two's-complement
         (CT air = -1000 HU); a plain uint16 view would wrap it to 64536 and

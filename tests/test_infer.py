@@ -53,6 +53,16 @@ class TestAnswerRule:
         batch = np.stack([logits, logits[::-1].copy()])
         np.testing.assert_array_equal(argmax_real(batch, limit), [2, 1])
 
+    def test_topk_real_clamps_k(self):
+        from btia_tpu.ops.answers import topk_real
+
+        logits = jnp.asarray(np.arange(8.0, dtype=np.float32))
+        # limit=4 → real answers are ids 1..3; k=100 must clamp, not
+        # crash lax.top_k or return masked '<unk>'/padding slots.
+        vals, ids = topk_real(logits, 100, 4)
+        assert ids.shape == (3,)
+        np.testing.assert_array_equal(np.asarray(ids), [3, 2, 1])
+
     def test_topk_real_matches_numpy(self):
         from btia_tpu.ops.answers import topk_real, topn_real_np
 

@@ -4,6 +4,7 @@ checkpoint save/restore/resume."""
 from pathlib import Path
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 import pytest
 
@@ -186,6 +187,35 @@ class TestTrainer:
         p1 = jax.tree.leaves(trainer.state.params)[0]
         p2 = jax.tree.leaves(trainer2.state.params)[0]
         np.testing.assert_allclose(np.asarray(p1), np.asarray(p2))
+
+
+class TestBestCheckpointRetention:
+    def test_best_survives_rotation(self, tiny_run, tmp_path):
+        """The rotating manager's max_to_keep must not delete the best
+        checkpoint: a val curve peaking early (the normal overfitting
+        shape) used to leave best.json pointing at a garbage-collected
+        step and restore(best=True) raising (review finding, round 2)."""
+        import dataclasses
+
+        from btia_tpu.models.model import build_model
+        from btia_tpu.parallel.mesh import MeshConfig, make_mesh
+        from btia_tpu.train.checkpoint import Checkpointer
+        from btia_tpu.train.steps import create_state
+
+        cfg, _ = tiny_run
+        model = build_model(cfg.model)
+        mesh = make_mesh(MeshConfig(-1, 1))
+        state = create_state(model, cfg, mesh, steps_per_epoch=10)
+        ckpt = Checkpointer(tmp_path / "ck", max_to_keep=2)
+        # Metric peaks at the FIRST save; 3 more saves rotate it out of
+        # the latest-2 window.
+        for step, metric in [(1, 0.9), (2, 0.5), (3, 0.4), (4, 0.3)]:
+            state = state.replace(step=jnp.asarray(step))
+            ckpt.save(state, metric=metric)
+        restored = ckpt.restore(state, best=True)
+        assert int(jax.device_get(restored.step)) == 1
+        latest = ckpt.restore(state)
+        assert int(jax.device_get(latest.step)) == 4
 
 
 class TestScannedTraining:
