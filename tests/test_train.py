@@ -217,6 +217,31 @@ class TestBestCheckpointRetention:
         latest = ckpt.restore(state)
         assert int(jax.device_get(latest.step)) == 4
 
+    def test_legacy_best_json_fallback(self, tiny_run, tmp_path):
+        """Pre-fix checkpoints have only best.json (no best_ckpt dir):
+        restore(best=True) must still resolve through the rotating manager
+        when the step survives."""
+        import json as json_
+
+        from btia_tpu.models.model import build_model
+        from btia_tpu.parallel.mesh import MeshConfig, make_mesh
+        from btia_tpu.train.checkpoint import Checkpointer
+        from btia_tpu.train.steps import create_state
+
+        cfg, _ = tiny_run
+        model = build_model(cfg.model)
+        mesh = make_mesh(MeshConfig(-1, 1))
+        state = create_state(model, cfg, mesh, steps_per_epoch=10)
+        ckpt = Checkpointer(tmp_path / "ck", max_to_keep=3)
+        for step in (1, 2):
+            state = state.replace(step=jnp.asarray(step))
+            ckpt.save(state)  # no metric → best manager stays empty
+        (ckpt.directory / "best.json").write_text(
+            json_.dumps({"step": 2, "metric": 0.5})
+        )
+        restored = ckpt.restore(state, best=True)
+        assert int(jax.device_get(restored.step)) == 2
+
 
 class TestScannedTraining:
     def test_steps_per_call_matches_single_step(self, tiny_run, tmp_path):
