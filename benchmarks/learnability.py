@@ -1,0 +1,174 @@
+"""Prove the model LEARNS a generalizing multimodal mapping (VERDICT r2
+item 1 — the highest-leverage gap: converts "compiles, overfits, runs
+fast" into "is a working VQA model").
+
+Uses the LEARNABLE synthetic corpus (data/synthetic.py learnable=True):
+labels are iid draws rendered into the pixels, and the val split holds
+out whole unseen images — accuracy therefore measures generalization,
+not memorization. The strongest no-image predictor ("blind best": the
+per-question-template majority answer from train) is computed exactly
+and printed next to every result; learning is demonstrated by a wide
+margin over it.
+
+Ablations (the ones VERDICT r2 said had no statistical power on the old
+unlearnable corpus):
+  --ablate fusion   : btia_layers 0 vs N — fusion must beat no-fusion
+  --ablate pool     : image_pool_grid off vs on
+  --ablate dtype    : fp32 vs bf16 mixed precision
+  --ablate head     : mlp classifier vs AD head
+
+    env -u PALLAS_AXON_POOL_IPS JAX_PLATFORMS=cpu \
+        python benchmarks/learnability.py [--seeds 2 --epochs 20 ...]
+
+Results land in BENCH_NOTES.md; tests/test_learnability.py pins the
+headline (single-seed) number as a regression gate.
+"""
+
+from __future__ import annotations
+
+import argparse
+import collections
+import json
+import sys
+import tempfile
+from dataclasses import replace
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+
+def _template(question: str) -> str:
+    """Question template key: the plane/organ slot words vary per item."""
+    words = question.split()
+    return " ".join(w for w in words if w not in _SLOT_WORDS)
+
+
+_SLOT_WORDS = set()
+
+
+def blind_best(train_items, val_items) -> float:
+    """Accuracy of the strongest image-blind predictor: per question
+    TEMPLATE, answer with the train-majority answer. Upper-bounds any
+    model that ignores pixels (including exploiting slot words, since
+    the full question string is also tried)."""
+    best = 0.0
+    for keyfn in (lambda q: q, _template):
+        maj = collections.defaultdict(collections.Counter)
+        for s in train_items:
+            maj[keyfn(s.question)][s.answer] += 1
+        # unseen key → global majority
+        glob = collections.Counter(s.answer for s in train_items)
+        hits = 0
+        for s in val_items:
+            c = maj.get(keyfn(s.question))
+            pred = (c or glob).most_common(1)[0][0]
+            hits += pred == s.answer
+        best = max(best, hits / max(len(val_items), 1))
+    return best
+
+
+def run_one(cfg, root, tag: str) -> dict:
+    from btia_tpu.train.trainer import Trainer
+
+    tr = Trainer(cfg, workdir=root / f"run_{tag}")
+    history = tr.fit()
+    best = max(h.get("val_accuracy", 0.0) for h in history)
+    row = max(history, key=lambda h: h.get("val_accuracy", 0.0))
+    return {
+        "val_accuracy": best,
+        "val_closed_accuracy": row.get("val_closed_accuracy", 0.0),
+        "val_open_accuracy": row.get("val_open_accuracy", 0.0),
+        "train_accuracy": history[-1].get("train_accuracy", 0.0),
+    }
+
+
+def main() -> None:
+    global _SLOT_WORDS
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--seeds", type=int, default=2)
+    ap.add_argument("--epochs", type=int, default=20)
+    ap.add_argument("--num-images", type=int, default=160)
+    ap.add_argument("--image-encoder", default="resnet_tiny")
+    ap.add_argument(
+        "--ablate",
+        default="none",
+        choices=["none", "fusion", "pool", "dtype", "head", "all"],
+    )
+    args = ap.parse_args()
+
+    from btia_tpu.configs import get_config
+    from btia_tpu.configs.config import Config, DataConfig
+    from btia_tpu.data import synthetic
+    from btia_tpu.data.synthetic import generate_synthetic_dataset
+
+    _SLOT_WORDS = set(synthetic._PLANES) | set(synthetic._ORGANS)
+
+    root = Path(tempfile.mkdtemp(prefix="learnstudy_"))
+    splits = generate_synthetic_dataset(
+        root / "data", num_images=args.num_images, learnable=True
+    )
+    blind = blind_best(splits["train"], splits["val"])
+    print(
+        f"corpus: {len(splits['train'])} train / {len(splits['val'])} val QA, "
+        f"blind-best baseline = {blind:.3f}",
+        flush=True,
+    )
+
+    base = get_config("tiny_test")
+    model0 = replace(base.model, image_encoder=args.image_encoder)
+    if args.image_encoder == "vit_test":
+        model0 = replace(model0, image_pool_grid=0)
+
+    variants = {"base": model0}
+    if args.ablate in ("fusion", "all"):
+        variants["no_fusion"] = replace(model0, btia_layers=0)
+    if args.ablate in ("pool", "all"):
+        variants["pool"] = replace(
+            model0,
+            image_encoder="vit_test",
+            image_pool_grid=4,
+        )
+        variants["no_pool"] = replace(
+            model0, image_encoder="vit_test", image_pool_grid=0
+        )
+    if args.ablate in ("dtype", "all"):
+        variants["bf16"] = replace(model0, mixed_precision=True)
+    if args.ablate in ("head", "all"):
+        variants["ad_head"] = replace(model0, head="ad", num_answer_queries=0)
+
+    results: dict = {}
+    for tag, model in variants.items():
+        per_seed = []
+        for seed in range(args.seeds):
+            train = replace(base.train, epochs=args.epochs, seed=seed)
+            cfg = Config(
+                name=f"learn_{tag}_s{seed}",
+                model=model,
+                data=DataConfig(dataset="vqa_rad", data_dir=str(root / "data")),
+                train=train,
+                mesh=base.mesh,
+            )
+            r = run_one(cfg, root, f"{tag}_s{seed}")
+            per_seed.append(r)
+            print(
+                f"{tag} seed={seed}: val={r['val_accuracy']:.3f} "
+                f"closed={r['val_closed_accuracy']:.3f} "
+                f"open={r['val_open_accuracy']:.3f} "
+                f"(train={r['train_accuracy']:.3f})",
+                flush=True,
+            )
+        results[tag] = {
+            "val_mean": sum(r["val_accuracy"] for r in per_seed)
+            / len(per_seed),
+            "per_seed": [r["val_accuracy"] for r in per_seed],
+            "closed_mean": sum(r["val_closed_accuracy"] for r in per_seed)
+            / len(per_seed),
+            "open_mean": sum(r["val_open_accuracy"] for r in per_seed)
+            / len(per_seed),
+        }
+
+    print(json.dumps({"blind_best": blind, **results}, indent=2))
+
+
+if __name__ == "__main__":
+    main()

@@ -15,7 +15,7 @@ from typing import Union
 import numpy as np
 from PIL import Image
 
-from btia_tpu.data.dicom import read_dicom
+from btia_tpu.data.dicom import DicomError, read_dicom
 
 _DICOM_SUFFIXES = {".dcm", ".dicom"}
 
@@ -29,8 +29,15 @@ def decode_image(src: Union[str, Path, bytes]) -> np.ndarray:
     if isinstance(src, (str, Path)):
         path = Path(src)
         data = path.read_bytes()
-        if path.suffix.lower() in _DICOM_SUFFIXES or _is_dicom_bytes(data):
+        if _is_dicom_bytes(data):
             return read_dicom(data).to_rgb_uint8()
+        if path.suffix.lower() in _DICOM_SUFFIXES:
+            # Suffix hint only (raw datasets lack the 'DICM' magic): a
+            # misnamed *.dcm that is really PNG/JPEG falls through to PIL.
+            try:
+                return read_dicom(data).to_rgb_uint8()
+            except DicomError:
+                pass
     else:
         data = src
         if _is_dicom_bytes(data):
@@ -73,5 +80,13 @@ def load_ingest_image(src: Union[str, Path, bytes], ingest_size: int) -> np.ndar
             return out
         from btia_tpu.data.dicom import read_dicom as _read
 
-        return resize_uint8(_read(src).to_rgb_uint8(), ingest_size)
+        try:
+            return resize_uint8(_read(src).to_rgb_uint8(), ingest_size)
+        except DicomError:
+            if is_dicom and not _is_dicom_bytes(src):
+                # Suffix hint only: a misnamed *.dcm that is really
+                # PNG/JPEG falls through to the PIL path below.
+                pass
+            else:
+                raise
     return resize_uint8(decode_image(src), ingest_size)

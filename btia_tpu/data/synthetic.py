@@ -23,6 +23,25 @@ _ORGANS = ["lung", "heart", "liver", "kidney", "brain"]
 _MODALITIES = ["xray", "ct", "mri"]
 _PLANES = ["axial", "coronal", "sagittal"]
 
+# Visual encodings for the LEARNABLE corpus (VERDICT r2 item 1): every
+# label is deterministically rendered into the pixels, so a model that
+# attends to the image CAN predict val answers on unseen images —
+# unlike the legacy corpus below whose labels were uncorrelated with
+# pixel content (val accuracy saturated at chance ≈0.375).
+_ORGAN_POS = {  # organ → main-structure center (x_frac, y_frac)
+    "lung": (0.28, 0.28),
+    "heart": (0.50, 0.50),
+    "liver": (0.74, 0.30),
+    "kidney": (0.30, 0.74),
+    "brain": (0.73, 0.73),
+}
+_MODALITY_BG = {"xray": 195.0, "ct": 115.0, "mri": 38.0}  # background band
+_PLANE_ASPECT = {  # plane → structure aspect (sx, sy) scale factors
+    "axial": (1.0, 1.0),
+    "coronal": (2.1, 0.55),
+    "sagittal": (0.55, 2.1),
+}
+
 
 def _make_image(rng: np.random.RandomState, size: int = 128) -> np.ndarray:
     """Gradient + blobs; grayscale-ish like radiology."""
@@ -39,13 +58,103 @@ def _make_image(rng: np.random.RandomState, size: int = 128) -> np.ndarray:
     return np.repeat(g[:, :, None], 3, axis=2)
 
 
+def _render_learnable(
+    rng: np.random.RandomState,
+    organ: str,
+    modality: str,
+    plane: str,
+    abnormal: bool,
+    size: int = 128,
+) -> np.ndarray:
+    """Render (organ, modality, plane, abnormal) into pixels, with nuisance
+    jitter/noise so val generalization (unseen images) is required:
+
+    - modality → background intensity band (xray bright / ct mid / mri dark)
+    - organ    → position of the main elliptical structure (5 sites)
+    - plane    → aspect ratio of that structure (round / wide / tall)
+    - abnormal → a small maximal-contrast lesion dot inside the structure
+    """
+    bg = _MODALITY_BG[modality] + rng.randn() * 6
+    y, x = np.mgrid[0:size, 0:size].astype(np.float32)
+    img = np.full((size, size), bg, np.float32)
+    img += (x / size - 0.5) * rng.randn() * 8  # mild nuisance gradient
+
+    cx = (_ORGAN_POS[organ][0] + rng.uniform(-0.04, 0.04)) * size
+    cy = (_ORGAN_POS[organ][1] + rng.uniform(-0.04, 0.04)) * size
+    sx, sy = _PLANE_ASPECT[plane]
+    r = size * (0.11 + rng.uniform(-0.012, 0.012))
+    d2 = ((x - cx) / (sx * r)) ** 2 + ((y - cy) / (sy * r)) ** 2
+    # Structure contrasts against the band: darker on bright backgrounds,
+    # brighter on dark ones — visible for every modality.
+    delta = -70.0 if bg > 128 else 70.0
+    img += delta * np.exp(-d2 / 2.0)
+
+    if abnormal:
+        # Lesion: near-saturated dot at the structure center, opposite
+        # contrast direction to the structure itself.
+        lx = cx + rng.uniform(-0.25, 0.25) * r
+        ly = cy + rng.uniform(-0.25, 0.25) * r
+        lr = size * 0.06  # ≥3.8 px even after a 64-px encoder resize
+        ld2 = (x - lx) ** 2 + (y - ly) ** 2
+        lesion = 255.0 if bg > 128 else 0.0
+        w = np.exp(-ld2 / (2 * lr * lr))
+        img = img * (1 - w) + lesion * w
+
+    img += rng.randn(size, size) * 4  # sensor noise
+    g = np.clip(img, 0, 255).astype(np.uint8)
+    return np.repeat(g[:, :, None], 3, axis=2)
+
+
+def _learnable_labels(rng: np.random.RandomState):
+    """iid label draw — decorrelated from the image index on purpose."""
+    return (
+        _ORGANS[rng.randint(len(_ORGANS))],
+        _MODALITIES[rng.randint(len(_MODALITIES))],
+        _PLANES[rng.randint(len(_PLANES))],
+        bool(rng.rand() < 0.5),
+    )
+
+
+def _learnable_qa(
+    rng: np.random.RandomState, organ, modality, plane, abnormal
+):
+    """Four question templates; the plane question asks about the TRUE
+    plane w.p. 0.5 (else a random other), so its answer requires fusing
+    the plane named in the text with the aspect ratio in the image —
+    neither modality alone predicts it."""
+    if rng.rand() < 0.5:
+        asked = plane
+    else:
+        others = [p for p in _PLANES if p != plane]
+        asked = others[rng.randint(len(others))]
+    return [
+        ("what organ is shown in this image", organ, "OPEN"),
+        ("what imaging modality was used", modality, "OPEN"),
+        (f"is this an {asked} view", "yes" if asked == plane else "no", "CLOSED"),
+        (f"is the {organ} normal", "no" if abnormal else "yes", "CLOSED"),
+    ]
+
+
 def generate_synthetic_dataset(
     root: Optional[Path] = None,
     num_images: int = 6,
     qa_per_image: int = 4,
     seed: int = 0,
+    learnable: bool = False,
+    val_frac: float = 0.25,
 ) -> Dict[str, List[VQASample]]:
-    """Write a VQA-RAD-format corpus (JPEGs + 1 DICOM + JSON) and load it."""
+    """Write a VQA-RAD-format corpus (JPEGs + 1 DICOM + JSON) and load it.
+
+    learnable=False (legacy fixtures): labels are index-derived and
+    UNCORRELATED with pixel content — fine for loader/pipeline/CLI tests,
+    useless for accuracy claims (val saturates at chance).
+
+    learnable=True: labels are iid draws rendered into the pixels
+    (`_render_learnable`), and the test split holds out whole UNSEEN
+    images (the last `val_frac` of them), so val accuracy measures
+    generalization of a real multimodal mapping. Used by
+    benchmarks/learnability.py and tests/test_learnability.py.
+    """
     if root is None:
         root = Path(tempfile.gettempdir()) / f"btia_synth_{seed}_{num_images}"
     root = Path(root)
@@ -53,9 +162,17 @@ def generate_synthetic_dataset(
     img_dir.mkdir(parents=True, exist_ok=True)
     rng = np.random.RandomState(seed)
 
+    n_train_imgs = num_images - max(1, int(round(num_images * val_frac)))
     items = []
     for i in range(num_images):
-        arr = _make_image(rng)
+        if learnable:
+            organ, modality, plane, abnormal = _learnable_labels(rng)
+            arr = _render_learnable(rng, organ, modality, plane, abnormal)
+        else:
+            arr = _make_image(rng)
+            organ = _ORGANS[i % len(_ORGANS)]
+            modality = _MODALITIES[i % len(_MODALITIES)]
+            plane = _PLANES[i % len(_PLANES)]
         if i == 0:
             # One DICOM image exercises the DICOM ingest path [B:11].
             name = f"synpic{i}.dcm"
@@ -65,18 +182,25 @@ def generate_synthetic_dataset(
             name = f"synpic{i}.jpg"
             Image.fromarray(arr).save(img_dir / name, quality=92)
 
-        organ = _ORGANS[i % len(_ORGANS)]
-        modality = _MODALITIES[i % len(_MODALITIES)]
-        plane = _PLANES[i % len(_PLANES)]
-        qa = [
-            (f"is the {organ} normal", "yes" if i % 2 == 0 else "no", "CLOSED"),
-            (f"what organ is shown in this image", organ, "OPEN"),
-            (f"what imaging modality was used", modality, "OPEN"),
-            (f"is this an {plane} view", "yes" if i % 3 == 0 else "no", "CLOSED"),
-        ][:qa_per_image]
+        if learnable:
+            qa = _learnable_qa(rng, organ, modality, plane, abnormal)[
+                :qa_per_image
+            ]
+        else:
+            qa = [
+                (f"is the {organ} normal", "yes" if i % 2 == 0 else "no", "CLOSED"),
+                (f"what organ is shown in this image", organ, "OPEN"),
+                (f"what imaging modality was used", modality, "OPEN"),
+                (f"is this an {plane} view", "yes" if i % 3 == 0 else "no", "CLOSED"),
+            ][:qa_per_image]
         for j, (q, a, at) in enumerate(qa):
-            # ~1/3 of items become the test split, marked VQA-RAD-style.
-            is_test = (i * qa_per_image + j) % 3 == 2
+            if learnable:
+                # Whole images are held out — val requires generalizing
+                # the visual encoding, not recalling a seen image.
+                is_test = i >= n_train_imgs
+            else:
+                # ~1/3 of items become the test split, marked VQA-RAD-style.
+                is_test = (i * qa_per_image + j) % 3 == 2
             items.append(
                 {
                     "qid": i * qa_per_image + j,

@@ -34,12 +34,21 @@ def shard_serving_params(variables: dict, mesh: Mesh) -> dict:
 
 def _topk_real_answers(logits, k: int, vocab_limit: Optional[int]):
     """top_k over REAL answers — ops/answers.py rule (no <unk>, no padding
-    past the built vocab when vocab_limit is given)."""
+    past the built vocab)."""
     from btia_tpu.ops.answers import topk_real
 
-    return topk_real(
-        logits, k, vocab_limit if vocab_limit else logits.shape[-1]
-    )
+    return topk_real(logits, k, vocab_limit)
+
+
+def _require_vocab_limit(topk: int, vocab_limit: Optional[int]) -> None:
+    # The static head is padded past the built vocab; top-k without a
+    # vocab_limit could surface padding slots as "answers", violating the
+    # ops/answers.py rule every other logits→answers surface follows.
+    if topk and not vocab_limit:
+        raise ValueError(
+            "topk>0 requires vocab_limit=len(answer_vocab) so static-head "
+            "padding slots are excluded from the returned answer ids"
+        )
 
 
 def make_sharded_serve_fn(
@@ -50,8 +59,9 @@ def make_sharded_serve_fn(
 ) -> Callable:
     """Returns serve(variables, images (B,H,W,3) u8, qids (B,Q,L)) jit'd
     over the mesh. B must divide the 'data' axis. topk>0 → (vals, idxs)
-    over real answers only (<unk>/padding excluded; pass vocab_limit =
-    len(answer_vocab) to also mask the static head's padding slots)."""
+    over real answers only; vocab_limit = len(answer_vocab) is REQUIRED
+    then, so the static head's padding slots are masked too."""
+    _require_vocab_limit(topk, vocab_limit)
     b_sh = batch_sharding(mesh)
 
     def serve(variables, images, qids):
@@ -82,7 +92,8 @@ def make_sharded_serve_indexed_fn(
     features — XLA inserts the all-gather over ICI (txt features are
     ~U·S·D·2 bytes, a few MB at serving sizes, so the collective is
     cheap next to the 32× tower saving). B and U must divide the data
-    axis."""
+    axis. topk>0 requires vocab_limit (see make_sharded_serve_fn)."""
+    _require_vocab_limit(topk, vocab_limit)
     b_sh = batch_sharding(mesh)
 
     def serve(variables, images, unique_ids, qmap):

@@ -97,6 +97,11 @@ class StreamingServer:
         # server over an open-ended stream must not grow without limit.
         self._tok_memo: "OrderedDict" = OrderedDict()
         self._tok_memo_cap = 65536
+        # Decode workers share the memo; CPython's GIL makes each dict op
+        # atomic today, but get/set/evict is a compound sequence — guard it
+        # so free-threaded builds can't over-evict or lose entries. The
+        # lock cost is negligible next to a WordPiece encode.
+        self._tok_memo_lock = threading.Lock()
         self.dedup_questions = dedup_questions
         self.pack_pairs = pack_pairs
         # A budget below Q couldn't fit one full request.
@@ -180,12 +185,14 @@ class StreamingServer:
                     )
                     n = min(len(questions), self.Q)
                     for j, qtext in enumerate(list(questions)[:n]):
-                        ids = self._tok_memo.get(qtext)
+                        with self._tok_memo_lock:
+                            ids = self._tok_memo.get(qtext)
                         if ids is None:
                             ids = self.p._tokenize([qtext])[0]
-                            self._tok_memo[qtext] = ids
-                            if len(self._tok_memo) > self._tok_memo_cap:
-                                self._tok_memo.popitem(last=False)  # LRU-ish
+                            with self._tok_memo_lock:
+                                self._tok_memo[qtext] = ids
+                                if len(self._tok_memo) > self._tok_memo_cap:
+                                    self._tok_memo.popitem(last=False)  # LRU
                         qids[j] = ids
                 except Exception as e:  # bad request: report, keep serving
                     out_q.put(_DecodeError(idx, e))
@@ -207,9 +214,18 @@ class StreamingServer:
         requests appear in `self.errors` as (index, exception) and yield
         nothing. Pads the tail to keep the compiled shape static."""
         # Throughput stats accumulate across serve() calls, but errors are
-        # per-call: stale (index, exc) pairs from a previous stream would
-        # mis-attribute failures to this stream's requests.
+        # per-call. Reset them HERE, in the non-generator wrapper, so a
+        # caller that creates the generator and inspects server.errors
+        # before the first next() already sees a clean list (a lazy reset
+        # inside the generator body left the previous call's stale pairs
+        # visible until iteration started).
         self.errors = []
+        return self._serve_iter(requests)
+
+    def _serve_iter(
+        self,
+        requests: Iterable[Tuple[ImageLike, Sequence[str]]],
+    ) -> Iterator[Tuple[int, object, int]]:
         src = enumerate(iter(requests))
         q: "queue.Queue" = queue.Queue(maxsize=self.queue_depth * self.B)
         lock = threading.Lock()

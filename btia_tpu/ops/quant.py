@@ -132,33 +132,37 @@ def int8_matmul_fused(
     if block_m is None:
         # Keep x(f32 temp)+x_i8+w+acc under ~8 MB of VMEM.
         block_m = 256 if K > 1024 else 512
-    block_n = min(block_n, N)
-    if N % block_n:
-        # Any output width must work (users override hidden_dim freely):
-        # pick the largest divisor of N ≤ block_n, preferring lane-aligned
-        # multiples of 128, instead of rejecting the shape at serve time.
-        block_n = next(
-            (
-                b
-                for b in range(block_n, 127, -1)
-                if N % b == 0 and b % 128 == 0
-            ),
-            next(b for b in range(min(block_n, N), 0, -1) if N % b == 0),
-        )
+    # Any output width must work (users override hidden_dim freely). Pad N
+    # up to a lane-aligned multiple of 128 and slice the result: one
+    # lane-aligned code path for every width, instead of degrading to a
+    # tiny (possibly non-lane) divisor for awkward N (e.g. prime), which
+    # Mosaic may refuse or run slowly on real hardware.
+    Np = _cdiv(N, 128) * 128
+    block_n = min(block_n, Np)
+    if Np % block_n:
+        # Largest multiple of 128 dividing Np and ≤ requested block_n
+        # (always succeeds: 128 divides Np by construction).
+        start = max(128, block_n - block_n % 128)
+        block_n = next(b for b in range(start, 0, -128) if Np % b == 0)
+    if Np != N:
+        w_i8 = jnp.pad(w_i8, ((0, 0), (0, Np - N)))
+        w_scale = jnp.pad(w_scale.reshape(-1), (0, Np - N))
+        if bias is not None:
+            bias = jnp.pad(bias.reshape(-1), (0, Np - N))
     Mp = _cdiv(M, block_m) * block_m
     if Mp != M:
         x = jnp.pad(x, ((0, Mp - M), (0, 0)))
-    ws = w_scale.reshape(1, N).astype(jnp.float32)
+    ws = w_scale.reshape(1, Np).astype(jnp.float32)
     b = (
-        bias.reshape(1, N)
+        bias.reshape(1, Np)
         if bias is not None
-        else jnp.zeros((1, N))
+        else jnp.zeros((1, Np))
     ).astype(jnp.float32)
 
     out = pl.pallas_call(
         functools.partial(_int8_mm_kernel, act=act),
-        out_shape=jax.ShapeDtypeStruct((Mp, N), out_dtype),
-        grid=(Mp // block_m, N // block_n),
+        out_shape=jax.ShapeDtypeStruct((Mp, Np), out_dtype),
+        grid=(Mp // block_m, Np // block_n),
         in_specs=[
             pl.BlockSpec((block_m, K), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((K, block_n), lambda i, j: (0, j), memory_space=pltpu.VMEM),
@@ -178,13 +182,13 @@ def int8_matmul_fused(
             dimension_semantics=("arbitrary", "arbitrary"),
         ),
         cost_estimate=pl.CostEstimate(
-            flops=2 * Mp * K * N,
-            bytes_accessed=Mp * K * 2 + K * N + Mp * N * 2,
-            transcendentals=Mp * N if act is not None else 0,
+            flops=2 * Mp * K * Np,
+            bytes_accessed=Mp * K * 2 + K * Np + Mp * Np * 2,
+            transcendentals=Mp * Np if act is not None else 0,
         ),
         interpret=interpret,
     )(x, w_i8, ws, b)
-    return out[:M] if Mp != M else out
+    return out[:M, :N] if (Mp != M or Np != N) else out
 
 
 def int8_matmul_fused_reference(

@@ -159,6 +159,23 @@ class TestCompressedDicom:
         out = load_ingest_image(p, 64)
         assert out.shape == (64, 64, 3) and out.dtype == np.uint8
 
+    def test_misnamed_dcm_falls_back_to_pil(self, rng, tmp_path):
+        """A PNG/JPEG misnamed *.dcm (suffix hint but no DICM magic and not
+        parseable as a raw dataset) must fall back to the PIL path rather
+        than raise DicomError (ADVICE r2) — for both decode_image and
+        load_ingest_image."""
+        from PIL import Image
+
+        from btia_tpu.data.image import load_ingest_image
+
+        arr = (rng.rand(32, 32, 3) * 255).astype(np.uint8)
+        p = tmp_path / "actually_a_png.dcm"
+        Image.fromarray(arr).save(p, format="PNG")
+        out = decode_image(p)
+        assert out.shape == (32, 32, 3)
+        out = load_ingest_image(p, 64)
+        assert out.shape == (64, 64, 3) and out.dtype == np.uint8
+
     def test_rle_signed_int16(self, rng):
         """PixelRepresentation=1 with RLE: stored bits are two's-complement
         (CT air = -1000 HU); a plain uint16 view would wrap it to 64536 and

@@ -197,6 +197,18 @@ class TestStreaming:
         assert len(results) == 1
         assert server.errors == []
 
+    def test_errors_reset_eagerly_at_serve_call(self, predictor):
+        """serve() resets errors BEFORE iteration starts (ADVICE r2): a
+        caller that creates the generator and checks errors first must not
+        see the previous call's stale pairs."""
+        p, dm = predictor
+        server = StreamingServer(p, image_batch=1, questions_per_image=1)
+        list(server.serve(iter([("/nonexistent/x.dcm", ["q"])])))
+        assert len(server.errors) == 1
+        gen = server.serve(iter([(dm.train[0].image_path, ["q"])]))
+        assert server.errors == []  # cleared at call time, not first next()
+        assert len(list(gen)) == 1
+
     def test_topk_mode_matches_full_logits(self, predictor):
         """topk serving must yield the same ranked REAL answers as the
         full-logit path (index 0 <unk> and head padding excluded, matching

@@ -82,6 +82,15 @@ class TestFusedKernel:
         out = self._run(rng, 100, 256, 128)
         assert out.shape == (100, 128)
 
+    def test_unaligned_n_padded(self, rng):
+        """Awkward widths (incl. prime) take the pad-to-128-and-slice path
+        — one lane-aligned kernel for every N, never a degenerate tiny
+        block_n (ADVICE r2)."""
+        out = self._run(rng, 64, 128, 300)
+        assert out.shape == (64, 300)
+        out = self._run(rng, 64, 128, 257)  # prime width
+        assert out.shape == (64, 257)
+
     def test_no_bias(self, rng):
         self._run(rng, 64, 128, 128, bias=False)
 

@@ -106,12 +106,23 @@ class TestShardedServing:
         model, variables, images, qids = serving_setup
         mesh = make_mesh(MeshConfig(data=8, model=1))
         sharded_vars = shard_serving_params(variables, mesh)
-        vals, idxs = make_sharded_serve_fn(model, mesh, topk=3)(
-            sharded_vars, images, qids
-        )
+        # Pretend the built vocab has 20 real answers: ids ≥20 are
+        # static-head padding and must never be returned.
+        vocab_len = 20
+        vals, idxs = make_sharded_serve_fn(
+            model, mesh, topk=3, vocab_limit=vocab_len
+        )(sharded_vars, images, qids)
         assert vals.shape == (8, 4, 3)
         idxs = np.asarray(idxs)
-        assert idxs.max() < model.cfg.answer_vocab_size
+        assert idxs.max() < vocab_len
         # <unk> (index 0) is never a real answer — same rule as every
         # other serving/eval surface.
         assert (idxs != 0).all()
+
+    def test_topk_requires_vocab_limit(self, serving_setup):
+        model, *_ = serving_setup
+        mesh = make_mesh(MeshConfig(data=8, model=1))
+        with pytest.raises(ValueError, match="vocab_limit"):
+            make_sharded_serve_fn(model, mesh, topk=3)
+        with pytest.raises(ValueError, match="vocab_limit"):
+            make_sharded_serve_indexed_fn(model, mesh, topk=3)
