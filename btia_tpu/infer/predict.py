@@ -43,8 +43,21 @@ class Predictor:
         text_encoder,
         answer_vocab: AnswerVocab,
         cfg: Config,
+        mesh=None,
     ):
+        """`mesh` (optional jax.sharding.Mesh): serve through a DP×TP
+        device mesh [B:5 "on v5e-8", B:11]. Params get the TP layout from
+        parallel/sharding.py (replicated when model axis == 1); every
+        compiled fan-out program constrains its batch-shaped inputs over
+        the 'data' axis, so the SAME host loop (StreamingServer: decode
+        threads, dedup, pair packing, topk, error isolation) drives the
+        whole slice — XLA inserts the TP all-reduces over ICI."""
         self.model = model
+        self.mesh = mesh
+        if mesh is not None:
+            from btia_tpu.infer.sharded import shard_serving_params
+
+            variables = shard_serving_params(variables, mesh)
         self.variables = variables
         self.text_encoder = text_encoder
         self.answer_vocab = answer_vocab
@@ -52,14 +65,30 @@ class Predictor:
         self.ingest_size = max(256, cfg.model.image_size)
         self._forward_cache: Dict[Tuple[int, int], jax.stages.Wrapped] = {}
         self._encode = jax.jit(
-            lambda v, imgs: self.model.apply(v, imgs, method="encode_image")
+            lambda v, imgs: self.model.apply(
+                v, self._constrain(imgs), method="encode_image"
+            )
         )
+
+    def _constrain(self, x: jax.Array) -> jax.Array:
+        """Shard a batch-shaped array's leading dim over 'data' when a
+        mesh is set AND the dim divides the axis (a 1-image predict()
+        stays replicated rather than failing the divisibility check)."""
+        if self.mesh is None:
+            return x
+        from btia_tpu.parallel.mesh import DATA_AXIS
+        from btia_tpu.parallel.sharding import batch_sharding, replicated
+
+        dp = self.mesh.shape[DATA_AXIS]
+        if x.ndim and x.shape[0] % dp == 0:
+            return jax.lax.with_sharding_constraint(x, batch_sharding(self.mesh))
+        return jax.lax.with_sharding_constraint(x, replicated(self.mesh))
 
     # -- plumbing ---------------------------------------------------------
 
     @classmethod
     def from_checkpoint(
-        cls, workdir: str | Path, best: bool = True
+        cls, workdir: str | Path, best: bool = True, mesh=None
     ) -> "Predictor":
         """Load config + vocabs + best/latest weights from a Trainer workdir."""
         from btia_tpu.parallel.mesh import single_device_mesh
@@ -85,7 +114,7 @@ class Predictor:
         variables = {"params": state.params}
         if state.batch_stats:
             variables["batch_stats"] = state.batch_stats
-        return cls(model, variables, text_encoder, answer_vocab, cfg)
+        return cls(model, variables, text_encoder, answer_vocab, cfg, mesh=mesh)
 
     def _prep_image(self, image: ImageLike) -> np.ndarray:
         if isinstance(image, np.ndarray):
@@ -110,10 +139,13 @@ class Predictor:
 
             def fwd(variables, images, qids):
                 img_tokens = self.model.apply(
-                    variables, images, method="encode_image"
+                    variables, self._constrain(images), method="encode_image"
                 )
                 return self.model.apply(
-                    variables, img_tokens, qids, method="answer_questions"
+                    variables,
+                    img_tokens,
+                    self._constrain(qids),
+                    method="answer_questions",
                 )
 
             self._forward_cache[key] = jax.jit(fwd)
@@ -128,14 +160,14 @@ class Predictor:
 
             def fwd(variables, images, unique_ids, pair_img, pair_q):
                 img_tokens = self.model.apply(
-                    variables, images, method="encode_image"
+                    variables, self._constrain(images), method="encode_image"
                 )
                 return self.model.apply(
                     variables,
                     img_tokens,
-                    unique_ids,
-                    pair_img,
-                    pair_q,
+                    self._constrain(unique_ids),
+                    self._constrain(pair_img),
+                    self._constrain(pair_q),
                     method="answer_pairs",
                 )
 
@@ -151,13 +183,13 @@ class Predictor:
 
             def fwd(variables, images, unique_ids, qmap):
                 img_tokens = self.model.apply(
-                    variables, images, method="encode_image"
+                    variables, self._constrain(images), method="encode_image"
                 )
                 return self.model.apply(
                     variables,
                     img_tokens,
-                    unique_ids,
-                    qmap,
+                    self._constrain(unique_ids),
+                    self._constrain(qmap),
                     method="answer_questions_indexed",
                 )
 
