@@ -89,6 +89,22 @@ def main() -> None:
         help="vary questions/image (cycle Q/8..Q) — the padded path wastes "
         "fan-out slots, the packed path does not",
     )
+    ap.add_argument(
+        "--max-wait-ms",
+        type=float,
+        default=None,
+        help="bounded-latency batching: ship a padded partial batch once "
+        "the oldest pending request has waited this long",
+    )
+    ap.add_argument(
+        "--reps",
+        type=int,
+        default=1,
+        help="steady-state protocol: N warm repetitions of the timed "
+        "stream; reports the MEDIAN pairs/s with the min–max band, so a "
+        "transient tunnel slump can't masquerade as a regression "
+        "(BENCH_NOTES 'Transient tunnel slumps')",
+    )
     ap.add_argument("--json-only", action="store_true")
     args = ap.parse_args()
 
@@ -165,6 +181,7 @@ def main() -> None:
         pack_pairs=args.pack,
         pair_budget=args.pair_budget,
         max_in_flight=args.in_flight,
+        max_wait_ms=args.max_wait_ms,
     )
 
     counts = (
@@ -191,13 +208,20 @@ def main() -> None:
     server.pairs_processed = 0
     server.wall_seconds = 0.0
 
-    seen = set()
-    for idx, (_vals, _ids), n in server.serve(requests(paths)):
-        seen.add(idx)
-    assert len(seen) == args.images, (len(seen), args.images)
-    assert not server.errors, server.errors[:3]
+    reps_pps, latency = [], {}
+    for rep in range(max(args.reps, 1)):
+        server.pairs_processed = 0
+        server.wall_seconds = 0.0
+        seen = set()
+        for idx, (_vals, _ids), n in server.serve(requests(paths)):
+            seen.add(idx)
+        assert len(seen) == args.images, (len(seen), args.images)
+        assert not server.errors, server.errors[:3]
+        reps_pps.append(server.pairs_per_second)
+        latency = server.latency_summary()  # last (warmest) rep's stream
 
-    pps = server.pairs_per_second
+    reps_pps.sort()
+    pps = reps_pps[len(reps_pps) // 2]  # median rep
     result = {
         "metric": "e2e_dicom_to_answers_pairs_per_sec_per_chip",
         "value": round(pps, 1),
@@ -216,8 +240,18 @@ def main() -> None:
             "dedup_questions": args.dedup,
             "pack_pairs": args.pack,
             "uneven": args.uneven,
+            "max_wait_ms": args.max_wait_ms,
             "wall_s": round(server.wall_seconds, 3),
             "compile_s": round(compile_s, 1),
+            "reps": len(reps_pps),
+            "pps_min": round(reps_pps[0], 1),
+            "pps_max": round(reps_pps[-1], 1),
+            "latency_ms": {
+                k: round(v, 1)
+                for k, v in latency.items()
+                if k.endswith("_ms")
+            },
+            "latency_n": latency.get("n", 0),
         }
         print(json.dumps(detail), file=sys.stderr)
     print(json.dumps(result))

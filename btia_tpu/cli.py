@@ -133,7 +133,13 @@ def cmd_serve(args) -> None:
         decode_threads=args.threads,
         topk=args.topk,
         dedup_questions=args.dedup,
+        max_wait_ms=args.max_wait_ms,
     )
+    # Front-load the jit compile (minutes on a cold cache) BEFORE taking
+    # requests, and say so — instead of a silent hang at the first batch.
+    print("serve: compiling serving program ...", file=sys.stderr, flush=True)
+    warm_s = server.warmup()
+    print(f"serve: ready (warmup {warm_s:.1f}s)", file=sys.stderr, flush=True)
     from btia_tpu.ops.answers import argmax_real, real_limit
 
     limit = real_limit(len(p.answer_vocab), p.cfg.model.answer_vocab_size)
@@ -156,11 +162,15 @@ def cmd_serve(args) -> None:
             json.dumps({"image": images[idx].name, "error": str(exc)[:200]}),
             file=sys.stderr,
         )
+    lat = server.latency_summary()
     print(
         json.dumps(
             {
                 "pairs": server.pairs_processed,
                 "pairs_per_sec": round(server.pairs_per_second, 1),
+                "latency_ms": {
+                    k: round(v, 1) for k, v in lat.items() if k.endswith("_ms")
+                },
             }
         ),
         file=sys.stderr,
@@ -221,6 +231,11 @@ def main(argv=None) -> None:
     p.add_argument(
         "--dedup", action="store_true",
         help="encode unique questions once per device batch (exact)",
+    )
+    p.add_argument(
+        "--max-wait-ms", type=float, default=None,
+        help="bound per-request latency: ship a padded partial batch once "
+        "the oldest pending request has waited this long",
     )
     p.set_defaults(fn=cmd_serve)
 

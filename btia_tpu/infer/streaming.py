@@ -44,6 +44,7 @@ class StreamingServer:
         pack_pairs: bool = False,
         pair_budget: Optional[int] = None,
         max_in_flight: int = 2,
+        max_wait_ms: Optional[float] = None,
     ):
         """`topk`: fetch only the top-k (value, answer-id) pairs per question
         instead of the full answer-vocab logits. Serving callers only need
@@ -75,7 +76,16 @@ class StreamingServer:
         nondeterministic, so bucket sizes thrash and each first-seen
         (U, P) shape pays a program load (measured: the uneven e2e bench
         never reached steady state). A fixed budget means ONE compiled
-        program; size it to the workload's B·mean(n) (e.g. B*Q//2)."""
+        program; size it to the workload's B·mean(n) (e.g. B*Q//2).
+
+        `max_wait_ms`: bound per-request latency on sparse streams. The
+        batcher normally waits for B decoded images before dispatching; a
+        trickle of requests would wait unboundedly. With a max wait, a
+        partial batch is padded and shipped once the OLDEST pending
+        request has waited this long. Throughput-optimal workloads leave
+        it None (the default); latency-sensitive serving sets it to the
+        SLO budget minus one device step. Per-request enqueue→yield
+        latency is tracked either way: see `latency_summary()`."""
         self.p = predictor
         self.B = image_batch
         self.Q = questions_per_image
@@ -109,6 +119,12 @@ class StreamingServer:
             max(pair_budget, questions_per_image) if pair_budget else None
         )
         self.max_in_flight = max(1, max_in_flight)
+        self.max_wait = max_wait_ms / 1000.0 if max_wait_ms else None
+        # Per-request enqueue→yield latency (seconds), bounded window so a
+        # long-running server doesn't grow without limit; reset per serve().
+        from collections import deque
+
+        self.latencies: "deque[float]" = deque(maxlen=65536)
         self._ifwd_cache: dict = {}
         if not pack_pairs:
             base = predictor._fanout_forward(self.B, self.Q)
@@ -177,6 +193,10 @@ class StreamingServer:
                         idx, item = next(src)
                     except StopIteration:
                         break
+                # Latency clock starts when the request leaves the source
+                # iterator — it covers decode, batching wait, device queue,
+                # compute, and the result fetch.
+                t_enq = time.perf_counter()
                 image, questions = item
                 try:
                     img = self.p._prep_image(image)
@@ -197,9 +217,27 @@ class StreamingServer:
                 except Exception as e:  # bad request: report, keep serving
                     out_q.put(_DecodeError(idx, e))
                     continue
-                out_q.put((idx, img, qids, n))
+                out_q.put((idx, img, qids, n, t_enq))
         finally:
             out_q.put(None)
+
+    def warmup(self) -> float:
+        """Pre-compile the serving program by pushing one synthetic batch
+        end-to-end, so the first real request sees ~step-time latency
+        instead of the full jit compile (measured 118.8 s first-run on the
+        flagship config — an operator staring at a silent 2-minute hang).
+        Counters/latencies are restored; returns the warmup wall seconds.
+        Dedup/packed modes compile their first bucket here; other buckets
+        still compile lazily on first use."""
+        t0 = time.perf_counter()
+        pp, ws = self.pairs_processed, self.wall_seconds
+        img = np.zeros((self.p.ingest_size, self.p.ingest_size, 3), np.uint8)
+        reqs = [(img, ["warmup question"])] * self.B
+        for _ in self.serve(iter(reqs)):
+            pass
+        self.pairs_processed, self.wall_seconds = pp, ws
+        self.latencies.clear()
+        return time.perf_counter() - t0
 
     def serve(
         self,
@@ -227,6 +265,7 @@ class StreamingServer:
         requests: Iterable[Tuple[ImageLike, Sequence[str]]],
     ) -> Iterator[Tuple[int, object, int]]:
         src = enumerate(iter(requests))
+        self.latencies.clear()
         q: "queue.Queue" = queue.Queue(maxsize=self.queue_depth * self.B)
         lock = threading.Lock()
         workers = [
@@ -247,7 +286,8 @@ class StreamingServer:
         BQ = self.B * self.Q
 
         def dispatch(items):
-            # items: (request_idx, image, qids (Q, L), n) — idx -1 = pad.
+            # items: (request_idx, image, qids (Q, L), n, t_enq) — idx -1
+            # marks a tail/partial-batch padding slot.
             imgs = np.stack([it[1] for it in items])
             qids = np.stack([it[2] for it in items])
             if self.pack_pairs:
@@ -286,7 +326,7 @@ class StreamingServer:
                 pair_q[: len(p_img)] = inv.astype(np.int32)
                 meta, off = [], 0
                 for it in items:
-                    meta.append((it[0], it[3], off))
+                    meta.append((it[0], it[3], off, it[4]))
                     off += max(it[3], 0)
                 out = self._pairs_fwd(U, P)(
                     self.p.variables, imgs, uniq, pair_img, pair_q
@@ -299,10 +339,10 @@ class StreamingServer:
                 uniq = np.concatenate([uniq, pad]) if len(pad) else uniq
                 qmap = inv.reshape(self.B, self.Q).astype(np.int32)
                 out = self._indexed_fwd(U)(self.p.variables, imgs, uniq, qmap)
-                meta = [(it[0], it[3], 0) for it in items]
+                meta = [(it[0], it[3], 0, it[4]) for it in items]
             else:
                 out = self._fwd(self.p.variables, imgs, qids)
-                meta = [(it[0], it[3], 0) for it in items]
+                meta = [(it[0], it[3], 0, it[4]) for it in items]
             in_flight.append((out, meta))
 
         def drain(block_all: bool = False):
@@ -328,17 +368,53 @@ class StreamingServer:
                         )
                     else:
                         row = lambda i, n, off: (vals[i], idxs[i])
-                for i, (idx, n, off) in enumerate(meta):
+                for i, (idx, n, off, t_enq) in enumerate(meta):
                     if n < 0:  # tail-padding row, not a real request
                         continue
                     self.pairs_processed += n
                     # Updated per yield: callers may abandon the generator
                     # early (stop iterating) before the epilogue runs.
-                    self.wall_seconds = wall_base + time.perf_counter() - t0
+                    now = time.perf_counter()
+                    self.wall_seconds = wall_base + now - t0
+                    self.latencies.append(now - t_enq)
                     yield idx, row(i, n, off), n
 
+        def close_partial():
+            # Ship a padded partial batch (max-wait expiry or stream tail).
+            pad = pending[-1]
+            while len(pending) < self.B:
+                pending.append((-1, pad[1], pad[2], -1, 0.0))
+            dispatch(pending)
+
         while done_workers < self.decode_threads:
-            item = q.get()
+            if self.max_wait is not None and pending:
+                # Bounded-latency batching: wait at most until the OLDEST
+                # pending request has been waiting max_wait, then dispatch
+                # the partial batch padded to B (same compiled shape) and
+                # FORCE-drain it — pipelining depth only helps throughput,
+                # and a sparse stream has nothing behind this batch.
+                deadline = pending[0][4] + self.max_wait
+                try:
+                    item = q.get(
+                        timeout=max(0.0, deadline - time.perf_counter())
+                    )
+                except queue.Empty:
+                    close_partial()
+                    pending = []
+                    yield from drain(block_all=True)
+                    continue
+            elif self.max_wait is not None and in_flight:
+                # Nothing pending but results in flight: if the stream
+                # stalls, flush them rather than sitting on finished work
+                # (a full batch followed by silence must not wait for the
+                # next batch to push it out).
+                try:
+                    item = q.get(timeout=self.max_wait)
+                except queue.Empty:
+                    yield from drain(block_all=True)
+                    continue
+            else:
+                item = q.get()
             if item is None:
                 done_workers += 1
                 continue
@@ -354,10 +430,7 @@ class StreamingServer:
             ):
                 # Close early: the next request would overflow the fixed
                 # pair capacity. Pad the image slots and ship.
-                pad = pending[-1]
-                while len(pending) < self.B:
-                    pending.append((-1, pad[1], pad[2], -1))
-                dispatch(pending)
+                close_partial()
                 pending = []
                 yield from drain()
             pending.append(item)
@@ -366,13 +439,29 @@ class StreamingServer:
                 pending = []
                 yield from drain()
         if pending:
-            pad = pending[-1]
-            while len(pending) < self.B:
-                pending.append((-1, pad[1], pad[2], -1))
-            dispatch(pending)
+            close_partial()
         yield from drain(block_all=True)
         self.wall_seconds = wall_base + time.perf_counter() - t0
 
     @property
     def pairs_per_second(self) -> float:
         return self.pairs_processed / max(self.wall_seconds, 1e-9)
+
+    def latency_summary(self) -> dict:
+        """Per-request enqueue→yield latency percentiles (ms) for the last
+        serve() stream (window-bounded at 65536 requests). Serving is
+        judged on BOTH axes: pairs/s/chip (throughput) and p50/p99 request
+        latency — a full-batch batcher can starve a sparse stream without
+        `max_wait_ms` and only these numbers would show it."""
+        if not self.latencies:
+            return {"n": 0}
+        lat = np.sort(np.asarray(self.latencies, np.float64)) * 1e3
+        pick = lambda p: float(lat[min(len(lat) - 1, int(p * len(lat)))])
+        return {
+            "n": len(lat),
+            "p50_ms": pick(0.50),
+            "p90_ms": pick(0.90),
+            "p99_ms": pick(0.99),
+            "mean_ms": float(lat.mean()),
+            "max_ms": float(lat[-1]),
+        }

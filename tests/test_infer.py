@@ -209,6 +209,56 @@ class TestStreaming:
         assert server.errors == []  # cleared at call time, not first next()
         assert len(list(gen)) == 1
 
+    def test_max_wait_bounds_sparse_stream_latency(self, predictor):
+        """A trickle of requests must not wait unboundedly for a full
+        batch (VERDICT r2 item 4): with max_wait_ms set, a partial batch
+        is padded and shipped once the oldest request has waited that
+        long, and per-request latency is tracked."""
+        import time as _t
+
+        p, dm = predictor
+        good = dm.train[0].image_path
+        server = StreamingServer(
+            p, image_batch=4, questions_per_image=2, max_wait_ms=150
+        )
+        # Warm the (4, 2) program: jit compile happens at first dispatch
+        # and would otherwise dominate the timed window on CPU.
+        list(server.serve(iter([(good, ["w"])] * 4)))
+
+        def slow_source():
+            yield (good, ["q one"])  # then the source stalls for seconds
+            _t.sleep(3.0)
+            yield (good, ["q two"])
+
+        t0 = _t.perf_counter()
+        first_at = None
+        results = []
+        for idx, res, n in server.serve(slow_source()):
+            if first_at is None:
+                first_at = _t.perf_counter() - t0
+            results.append((idx, n))
+        # Without max_wait the first result waits ≥3 s for a second image;
+        # with it, the padded partial batch ships after ~150 ms (+compute).
+        assert first_at is not None and first_at < 2.0, first_at
+        assert sorted(i for i, _ in results) == [0, 1]
+        summary = server.latency_summary()
+        assert summary["n"] == 2
+        assert summary["p50_ms"] > 0 and summary["p99_ms"] >= summary["p50_ms"]
+
+    def test_max_wait_results_match_plain(self, predictor):
+        """Partial max-wait batches are padded, not reshaped — logits must
+        equal the full-batch path's."""
+        p, dm = predictor
+        good = dm.train[0].image_path
+        qs = ["is the lung normal", "what organ is shown in this image"]
+        plain = StreamingServer(p, image_batch=2, questions_per_image=2)
+        [(_, want, _)] = list(plain.serve(iter([(good, qs)])))
+        bounded = StreamingServer(
+            p, image_batch=2, questions_per_image=2, max_wait_ms=50
+        )
+        [(_, got, _)] = list(bounded.serve(iter([(good, qs)])))
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
+
     def test_topk_mode_matches_full_logits(self, predictor):
         """topk serving must yield the same ranked REAL answers as the
         full-logit path (index 0 <unk> and head padding excluded, matching
