@@ -19,13 +19,27 @@ from btia_tpu.train.steps import TrainState
 
 
 class Checkpointer:
-    def __init__(self, directory: str | Path, max_to_keep: int = 3):
+    def __init__(
+        self,
+        directory: str | Path,
+        max_to_keep: int = 3,
+        async_save: bool = True,
+    ):
+        """async_save (SURVEY §5.3): orbax async checkpointing — save()
+        synchronously snapshots device arrays to host (so the train loop
+        may immediately donate/overwrite the state buffers) and writes to
+        disk in a background thread; the step loop never blocks on I/O.
+        Callers that need durability NOW (preemption exit, end of run,
+        restore-after-save) call wait_until_finished()."""
         self.directory = Path(directory).absolute()
         self.directory.mkdir(parents=True, exist_ok=True)
+        self.async_save = async_save
         self.manager = ocp.CheckpointManager(
             self.directory,
             options=ocp.CheckpointManagerOptions(
-                max_to_keep=max_to_keep, create=True
+                max_to_keep=max_to_keep,
+                create=True,
+                enable_async_checkpointing=async_save,
             ),
         )
         # The best checkpoint lives in its OWN single-slot manager: the
@@ -35,7 +49,11 @@ class Checkpointer:
         # restore(best=True) raising FileNotFoundError.
         self.best_manager = ocp.CheckpointManager(
             self.directory / "best_ckpt",
-            options=ocp.CheckpointManagerOptions(max_to_keep=1, create=True),
+            options=ocp.CheckpointManagerOptions(
+                max_to_keep=1,
+                create=True,
+                enable_async_checkpointing=async_save,
+            ),
         )
         self._best_metric: Optional[float] = self._read_best()[1]
 
@@ -54,6 +72,9 @@ class Checkpointer:
     def save(
         self, state: TrainState, metric: Optional[float] = None
     ) -> None:
+        """Returns as soon as the device→host snapshot is done (async
+        mode); disk I/O continues in the background. Bit-identical resume
+        is unaffected — the snapshot is taken at call time."""
         step = int(jax.device_get(state.step))
         savable = self._savable(state)
         self.manager.save(step, args=ocp.args.StandardSave(savable))
@@ -65,8 +86,13 @@ class Checkpointer:
             (self.directory / "best.json").write_text(
                 json.dumps({"step": step, "metric": metric})
             )
-            self.best_manager.wait_until_finished()
+        if not self.async_save:
+            self.wait_until_finished()
+
+    def wait_until_finished(self) -> None:
+        """Block until all in-flight async saves are durable on disk."""
         self.manager.wait_until_finished()
+        self.best_manager.wait_until_finished()
 
     def _read_best(self) -> Tuple[Optional[int], Optional[float]]:
         f = self.directory / "best.json"
@@ -76,12 +102,15 @@ class Checkpointer:
         return None, None
 
     def latest_step(self) -> Optional[int]:
+        self.manager.wait_until_finished()  # count only durable saves
         return self.manager.latest_step()
 
     def restore(
         self, state_template: TrainState, step: Optional[int] = None,
         best: bool = False,
     ) -> TrainState:
+        # An in-flight async save of the requested step must land first.
+        self.wait_until_finished()
         manager = self.manager
         if best:
             bstep = self.best_manager.latest_step()

@@ -143,6 +143,10 @@ class Trainer:
                 n_items += sum(len(b) for b in buf)
                 if self._preempted:
                     self.ckpt.save(self.state)
+                    # Preemption exit is the one place the save MUST be
+                    # durable before we return — the process is about to
+                    # die. Steady-state saves stay async (SURVEY §5.3).
+                    self.ckpt.wait_until_finished()
                     # state.step is the ground truth; `i` restarts at 0 after
                     # a mid-epoch resume while state.step does not.
                     self.logger.log(
@@ -173,7 +177,9 @@ class Trainer:
             }
             history.append(row)
             self.logger.log(split="epoch", **row)
+            # Async: the next epoch's steps overlap the checkpoint write.
             self.ckpt.save(self.state, metric=eval_metrics.get("accuracy"))
+        self.ckpt.wait_until_finished()  # durable before fit() returns
         return history
 
     def evaluate(self, split: str = "test") -> Dict[str, float]:

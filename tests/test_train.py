@@ -300,6 +300,40 @@ class TestPreemptionAndResume:
         assert int(jax.device_get(trainer2.state.step)) == 1
 
 
+class TestAsyncCheckpoint:
+    def test_async_save_snapshots_at_call_time(self, tiny_run, tmp_path):
+        """SURVEY §5.3 async checkpointing: save() must snapshot the
+        device arrays BEFORE returning, because the train loop donates and
+        overwrites the state buffers immediately after. We save, trash the
+        live params, then restore — the restore must see the values at
+        save time, bit-identically."""
+        from btia_tpu.models.model import build_model
+        from btia_tpu.parallel.mesh import MeshConfig, make_mesh
+        from btia_tpu.train.checkpoint import Checkpointer
+        from btia_tpu.train.steps import create_state
+
+        cfg, _ = tiny_run
+        model = build_model(cfg.model)
+        mesh = make_mesh(MeshConfig(-1, 1))
+        state = create_state(model, cfg, mesh, steps_per_epoch=10)
+        snapshot = jax.tree.map(lambda x: np.asarray(x).copy(), state.params)
+
+        ckpt = Checkpointer(tmp_path / "ck_async", async_save=True)
+        assert ckpt.async_save
+        state = state.replace(step=jnp.asarray(7))
+        ckpt.save(state)  # returns before disk I/O completes
+        # Simulate donation: overwrite the live params in place.
+        state = state.replace(
+            params=jax.tree.map(lambda x: x * 0 - 1.0, state.params)
+        )
+        restored = ckpt.restore(state)  # waits for the in-flight save
+        assert int(jax.device_get(restored.step)) == 7
+        for want, got in zip(
+            jax.tree.leaves(snapshot), jax.tree.leaves(restored.params)
+        ):
+            np.testing.assert_array_equal(np.asarray(want), np.asarray(got))
+
+
 class TestMetrics:
     def test_accumulator_breakdowns(self):
         acc = EvalAccumulator()
