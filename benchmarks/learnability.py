@@ -27,7 +27,6 @@ headline (single-seed) number as a regression gate.
 from __future__ import annotations
 
 import argparse
-import collections
 import json
 import sys
 import tempfile
@@ -37,34 +36,13 @@ from pathlib import Path
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 
-def _template(question: str) -> str:
-    """Question template key: the plane/organ slot words vary per item."""
-    words = question.split()
-    return " ".join(w for w in words if w not in _SLOT_WORDS)
-
-
 _SLOT_WORDS = set()
 
 
 def blind_best(train_items, val_items) -> float:
-    """Accuracy of the strongest image-blind predictor: per question
-    TEMPLATE, answer with the train-majority answer. Upper-bounds any
-    model that ignores pixels (including exploiting slot words, since
-    the full question string is also tried)."""
-    best = 0.0
-    for keyfn in (lambda q: q, _template):
-        maj = collections.defaultdict(collections.Counter)
-        for s in train_items:
-            maj[keyfn(s.question)][s.answer] += 1
-        # unseen key → global majority
-        glob = collections.Counter(s.answer for s in train_items)
-        hits = 0
-        for s in val_items:
-            c = maj.get(keyfn(s.question))
-            pred = (c or glob).most_common(1)[0][0]
-            hits += pred == s.answer
-        best = max(best, hits / max(len(val_items), 1))
-    return best
+    from btia_tpu.train.metrics import blind_best_accuracy
+
+    return blind_best_accuracy(train_items, val_items, _SLOT_WORDS)
 
 
 def run_one(cfg, root, tag: str) -> dict:

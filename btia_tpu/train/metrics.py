@@ -113,3 +113,31 @@ def corpus_bleu(
     log_precision /= max_n
     bp = 1.0 if pred_len > ref_len else math.exp(1.0 - ref_len / max(pred_len, 1))
     return bp * math.exp(log_precision)
+
+
+def blind_best_accuracy(train_items, val_items, slot_words=()) -> float:
+    """Accuracy of the strongest image-BLIND predictor on a VQA split:
+    per question key (the full string, and the string with slot words
+    removed), answer with the train-majority answer; unseen keys fall back
+    to the global majority. Any model that ignores pixels is bounded by
+    this — learnability claims (tests/test_learnability.py,
+    benchmarks/learnability.py) are margins over it, per VERDICT r2 item 1.
+    """
+    slot = set(slot_words)
+
+    def _template(q: str) -> str:
+        return " ".join(w for w in q.split() if w not in slot)
+
+    best = 0.0
+    for keyfn in (lambda q: q, _template):
+        maj = collections.defaultdict(collections.Counter)
+        for s in train_items:
+            maj[keyfn(s.question)][s.answer] += 1
+        glob = collections.Counter(s.answer for s in train_items)
+        hits = 0
+        for s in val_items:
+            c = maj.get(keyfn(s.question))
+            pred = (c or glob).most_common(1)[0][0]
+            hits += pred == s.answer
+        best = max(best, hits / max(len(val_items), 1))
+    return best

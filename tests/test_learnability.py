@@ -1,0 +1,75 @@
+"""Regression gate for VERDICT r2 item 1: the model must LEARN a
+generalizing multimodal mapping, not just compile/overfit/run fast.
+
+Trains tiny_test on the learnable synthetic corpus (labels rendered into
+pixels, val = whole held-out images; data/synthetic.py learnable=True)
+and asserts val accuracy clears the strongest image-blind predictor by a
+wide margin. The full study with more seeds/epochs and the fusion/pool/
+dtype/head ablations lives in benchmarks/learnability.py; results are in
+BENCH_NOTES.md ("learnable-corpus accuracy").
+"""
+
+from __future__ import annotations
+
+from dataclasses import replace
+
+import pytest
+
+from btia_tpu.configs import get_config
+from btia_tpu.configs.config import Config, DataConfig
+from btia_tpu.data import synthetic
+from btia_tpu.data.synthetic import generate_synthetic_dataset
+from btia_tpu.train.metrics import blind_best_accuracy
+
+
+class TestLearnability:
+    @pytest.fixture(scope="class")
+    def corpus(self, tmp_path_factory):
+        root = tmp_path_factory.mktemp("learnable")
+        splits = generate_synthetic_dataset(
+            root, num_images=96, learnable=True
+        )
+        return root, splits
+
+    def test_blind_baseline_is_weak(self, corpus):
+        """The corpus must not be solvable from text alone: iid labels
+        cap any image-blind predictor near the majority-class rates."""
+        _, splits = corpus
+        blind = blind_best_accuracy(
+            splits["train"],
+            splits["val"],
+            set(synthetic._PLANES) | set(synthetic._ORGANS),
+        )
+        assert blind < 0.50, f"blind-best {blind:.3f} too strong"
+
+    def test_val_accuracy_beats_blind(self, corpus):
+        """Short training run generalizes to UNSEEN images well above the
+        blind bound. Calibration: the full 400-image study reaches val
+        0.9125 vs blind 0.371 by epoch ~21 and crosses 0.80 by epoch 2-3
+        (benchmarks/learnability.py, BENCH_NOTES); this 96-image/6-epoch
+        gate passes with margin on the thresholds below, which sit well
+        under observed values to absorb numeric jitter."""
+        from btia_tpu.train.trainer import Trainer
+
+        root, splits = corpus
+        blind = blind_best_accuracy(
+            splits["train"],
+            splits["val"],
+            set(synthetic._PLANES) | set(synthetic._ORGANS),
+        )
+        base = get_config("tiny_test")
+        cfg = Config(
+            name="learnability_gate",
+            model=base.model,
+            data=DataConfig(dataset="vqa_rad", data_dir=str(root)),
+            train=replace(
+                base.train, epochs=6, warmup_steps=30, log_every=1000
+            ),
+            mesh=base.mesh,
+        )
+        history = Trainer(cfg, workdir=root / "run").fit()
+        best = max(h.get("val_accuracy", 0.0) for h in history)
+        assert best >= 0.60, f"val accuracy {best:.3f} did not learn"
+        assert best >= blind + 0.15, (
+            f"val {best:.3f} not clearly above blind-best {blind:.3f}"
+        )
