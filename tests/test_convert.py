@@ -130,6 +130,47 @@ class TestParity:
         err = verify_parity(torch_model, flax_model, variables, images, qids)
         assert err < 2e-4
 
+    def test_torchvision_downsample_rehearsal(self, rng, monkeypatch):
+        """Torchvision-style shortcut naming (VERDICT r2 next-round #10):
+        real torchvision ResNets name the projection shortcut
+        `<block>.downsample.0.*` (conv) / `<block>.downsample.1.*` (bn,
+        incl. running stats). Rename EVERY downsample key that way and
+        absorb it purely via NAME_OVERRIDES — exercising the override
+        path for direct (non-kernel) leaves and batch_stats, which the
+        generic rehearsal above does not touch."""
+        from flax.traverse_util import flatten_dict
+
+        from btia_tpu.convert import convert as C
+
+        torch_model = build_torch_model(TINY_LSTM, seed=0)
+        flax_model = build_model(TINY_LSTM)
+        images, qids = _probes(rng, TINY_LSTM)
+        key = jax.random.PRNGKey(0)
+        template = flax_model.init({"params": key, "dropout": key}, images, qids)
+        sd = {k: v.detach().clone() for k, v in torch_model.state_dict().items()}
+
+        overrides = {}
+        for collection in template:
+            for path in flatten_dict(template[collection]):
+                default_key, _ = C._torch_key(path)
+                tv_key = default_key.replace(
+                    "downsample_conv.", "downsample.0."
+                ).replace("downsample_bn.", "downsample.1.")
+                if tv_key != default_key:
+                    sd[tv_key] = sd.pop(default_key)
+                    overrides["/".join(path)] = tv_key
+        # Every shortcut leaf kind must be represented: conv kernel, bn
+        # scale/bias (params) and bn mean/var (batch_stats).
+        leaves = {p.rsplit("/", 1)[1] for p in overrides}
+        assert {"kernel", "scale", "bias", "mean", "var"} <= leaves
+
+        with pytest.raises(KeyError):
+            C.convert_state_dict(sd, template)
+        monkeypatch.setattr(C, "NAME_OVERRIDES", overrides)
+        variables = C.convert_state_dict(sd, template)
+        err = verify_parity(torch_model, flax_model, variables, images, qids)
+        assert err < 2e-4
+
     def test_shape_mismatch_raises(self, rng):
         torch_model = build_torch_model(TINY_LSTM, seed=0)
         flax_model = build_model(
