@@ -134,6 +134,8 @@ def cmd_serve(args) -> None:
         topk=args.topk,
         dedup_questions=args.dedup,
         max_wait_ms=args.max_wait_ms,
+        adaptive_q=args.adaptive_q,
+        q_max=args.q_max,
     )
     # Front-load the jit compile (minutes on a cold cache) BEFORE taking
     # requests, and say so — instead of a silent hang at the first batch.
@@ -236,6 +238,15 @@ def main(argv=None) -> None:
         "--max-wait-ms", type=float, default=None,
         help="bound per-request latency: ship a padded partial batch once "
         "the oldest pending request has waited this long",
+    )
+    p.add_argument(
+        "--adaptive-q", action="store_true",
+        help="grow the fan-out launch shape per batch (up to --q-max) "
+        "when requests carry more questions than the base bucket",
+    )
+    p.add_argument(
+        "--q-max", type=int, default=None,
+        help="question cap per request with --adaptive-q (default 2x base)",
     )
     p.set_defaults(fn=cmd_serve)
 

@@ -45,6 +45,8 @@ class StreamingServer:
         pair_budget: Optional[int] = None,
         max_in_flight: int = 2,
         max_wait_ms: Optional[float] = None,
+        adaptive_q: bool = False,
+        q_max: Optional[int] = None,
     ):
         """`topk`: fetch only the top-k (value, answer-id) pairs per question
         instead of the full answer-vocab logits. Serving callers only need
@@ -77,6 +79,18 @@ class StreamingServer:
         (U, P) shape pays a program load (measured: the uneven e2e bench
         never reached steady state). A fixed budget means ONE compiled
         program; size it to the workload's B·mean(n) (e.g. B*Q//2).
+
+        `adaptive_q`: select the fan-out launch shape from the WORKLOAD.
+        `questions_per_image` stays the base bucket; requests may carry up
+        to `q_max` (default 2x) questions, and each batch runs the
+        smallest compiled power-of-two-of-Q bucket that fits its largest
+        request. Measured motivation (BENCH_NOTES launch-shape sweep):
+        Q=256 amortizes the image tower to 6,985 pairs/s (+12% over
+        Q=128), but a fixed Q=256 pads sparse requests; adaptive buckets
+        give dense workloads the big program without regressing the
+        Q<=base path (same program as adaptive_q=False). Also removes the
+        silent truncation of requests with more than Q questions, up to
+        q_max. At most len(q_buckets) programs compile per mode.
 
         `max_wait_ms`: bound per-request latency on sparse streams. The
         batcher normally waits for B decoded images before dispatching; a
@@ -125,13 +139,40 @@ class StreamingServer:
         from collections import deque
 
         self.latencies: "deque[float]" = deque(maxlen=65536)
+        # Launch-shape buckets: fixed [Q], or Q·2^i capped at q_max when
+        # adaptive. The BASE bucket program is identical to the
+        # non-adaptive one, so enabling adaptive_q cannot regress a
+        # workload that never exceeds Q questions per image.
+        if adaptive_q:
+            cap = max(q_max or 2 * self.Q, self.Q)
+            self.q_buckets = [self.Q]
+            while self.q_buckets[-1] < cap:
+                self.q_buckets.append(min(self.q_buckets[-1] * 2, cap))
+        else:
+            self.q_buckets = [self.Q]
+        self.q_cap = self.q_buckets[-1]
         self._ifwd_cache: dict = {}
+        self._fwd_cache: dict = {}
         if not pack_pairs:
-            base = predictor._fanout_forward(self.B, self.Q)
+            self._plain_fwd(self.Q)  # base program, compiled eagerly
+
+    def _q_bucket(self, n: int) -> int:
+        """Smallest launch bucket holding n questions (n is pre-capped at
+        q_cap by the decode workers)."""
+        for b in self.q_buckets:
+            if n <= b:
+                return b
+        return self.q_buckets[-1]
+
+    def _plain_fwd(self, Qb: int):
+        """Compiled fan-out for a Qb-question launch bucket."""
+        if Qb not in self._fwd_cache:
+            base = self.p._fanout_forward(self.B, Qb)
             if self.topk is None:
-                self._fwd = base
+                self._fwd_cache[Qb] = base
             else:
-                self._fwd = jax.jit(self._topk_wrap(base))
+                self._fwd_cache[Qb] = jax.jit(self._topk_wrap(base))
+        return self._fwd_cache[Qb]
 
     def _topk_wrap(self, base):
         """Append top-k selection over REAL answers (ops/answers.py rule:
@@ -148,15 +189,16 @@ class StreamingServer:
 
         return fwd
 
-    def _indexed_fwd(self, U: int):
-        """Compiled dedup fan-out for a U-row unique-question bucket."""
-        if U not in self._ifwd_cache:
-            base = self.p._fanout_forward_indexed(self.B, self.Q, U)
+    def _indexed_fwd(self, U: int, Qb: int):
+        """Compiled dedup fan-out for a (U unique rows, Qb launch) bucket."""
+        key = ("idx", U, Qb)
+        if key not in self._ifwd_cache:
+            base = self.p._fanout_forward_indexed(self.B, Qb, U)
             if self.topk is None:
-                self._ifwd_cache[U] = base
+                self._ifwd_cache[key] = base
             else:
-                self._ifwd_cache[U] = jax.jit(self._topk_wrap(base))
-        return self._ifwd_cache[U]
+                self._ifwd_cache[key] = jax.jit(self._topk_wrap(base))
+        return self._ifwd_cache[key]
 
     def _pairs_fwd(self, U: int, P: int):
         """Compiled packed fan-out for a (U, P) bucket."""
@@ -201,9 +243,10 @@ class StreamingServer:
                 try:
                     img = self.p._prep_image(image)
                     qids = np.zeros(
-                        (self.Q, self.p.cfg.model.max_question_len), np.int32
+                        (self.q_cap, self.p.cfg.model.max_question_len),
+                        np.int32,
                     )
-                    n = min(len(questions), self.Q)
+                    n = min(len(questions), self.q_cap)
                     for j, qtext in enumerate(list(questions)[:n]):
                         with self._tok_memo_lock:
                             ids = self._tok_memo.get(qtext)
@@ -283,13 +326,17 @@ class StreamingServer:
         t0 = time.perf_counter()
         wall_base = self.wall_seconds
 
-        BQ = self.B * self.Q
+        BQ = self.B * self.q_cap
 
         def dispatch(items):
-            # items: (request_idx, image, qids (Q, L), n, t_enq) — idx -1
-            # marks a tail/partial-batch padding slot.
+            # items: (request_idx, image, qids (q_cap, L), n, t_enq) — idx
+            # -1 marks a tail/partial-batch padding slot.
             imgs = np.stack([it[1] for it in items])
             qids = np.stack([it[2] for it in items])
+            # Workload-adaptive launch shape: the smallest compiled Q
+            # bucket that fits this batch's largest request (q_buckets ==
+            # [Q] unless adaptive_q).
+            Qb = self._q_bucket(max(max(it[3], 1) for it in items))
             if self.pack_pairs:
                 # Dense pair packing: only the real (image, question) pairs
                 # occupy fan-out slots; unique questions encoded once.
@@ -332,16 +379,20 @@ class StreamingServer:
                     self.p.variables, imgs, uniq, pair_img, pair_q
                 )
             elif self.dedup_questions:
-                flat = qids.reshape(BQ, -1)
+                flat = qids[:, :Qb].reshape(self.B * Qb, -1)
                 uniq, inv = np.unique(flat, axis=0, return_inverse=True)
-                U = self._bucket_pow2(len(uniq), 32, BQ)
+                U = self._bucket_pow2(len(uniq), 32, self.B * Qb)
                 pad = np.zeros((U - len(uniq), flat.shape[1]), flat.dtype)
                 uniq = np.concatenate([uniq, pad]) if len(pad) else uniq
-                qmap = inv.reshape(self.B, self.Q).astype(np.int32)
-                out = self._indexed_fwd(U)(self.p.variables, imgs, uniq, qmap)
+                qmap = inv.reshape(self.B, Qb).astype(np.int32)
+                out = self._indexed_fwd(U, Qb)(
+                    self.p.variables, imgs, uniq, qmap
+                )
                 meta = [(it[0], it[3], 0, it[4]) for it in items]
             else:
-                out = self._fwd(self.p.variables, imgs, qids)
+                out = self._plain_fwd(Qb)(
+                    self.p.variables, imgs, qids[:, :Qb]
+                )
                 meta = [(it[0], it[3], 0, it[4]) for it in items]
             in_flight.append((out, meta))
 

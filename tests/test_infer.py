@@ -308,6 +308,73 @@ class TestStreaming:
             assert na == nb and ia == ib
             np.testing.assert_allclose(la, lb, atol=2e-5, rtol=1e-5)
 
+    def test_adaptive_q_matches_fixed_large_bucket(self, predictor):
+        """Adaptive launch shape (VERDICT r2 #5): a batch whose largest
+        request exceeds the base Q bucket runs the next power-of-two-of-Q
+        program and must match a server built with that Q fixed."""
+        p, dm = predictor
+        imgs = [s.image_path for s in dm.train[:2]]
+        qs = ["q one", "q two", "q three", "q four"]
+        reqs = lambda: iter([(im, qs) for im in imgs])
+        fixed = StreamingServer(p, image_batch=2, questions_per_image=4)
+        ref = sorted(fixed.serve(reqs()), key=lambda r: r[0])
+        ada = StreamingServer(
+            p,
+            image_batch=2,
+            questions_per_image=2,
+            adaptive_q=True,
+            q_max=4,
+        )
+        assert ada.q_buckets == [2, 4]
+        got = sorted(ada.serve(reqs()), key=lambda r: r[0])
+        assert 4 in ada._fwd_cache  # the big bucket actually ran
+        for (ia, la, na), (ib, lb, nb) in zip(ref, got):
+            assert ia == ib and na == nb == 4
+            np.testing.assert_allclose(
+                la[:na], lb[:nb], atol=2e-5, rtol=1e-5
+            )
+
+    def test_adaptive_q_small_requests_stay_on_base_program(self, predictor):
+        """No-regression guarantee: a workload that never exceeds the base
+        bucket must use exactly the base program (identical to
+        adaptive_q=False) and compile nothing else."""
+        p, dm = predictor
+        server = StreamingServer(
+            p,
+            image_batch=2,
+            questions_per_image=2,
+            adaptive_q=True,
+            q_max=8,
+        )
+        reqs = [(s.image_path, ["a", "b"]) for s in dm.train[:2]]
+        out = list(server.serve(iter(reqs)))
+        assert len(out) == 2
+        assert list(server._fwd_cache) == [2]
+
+    def test_adaptive_q_dedup_matches_plain(self, predictor):
+        """Adaptive bucket selection composes with question dedup: the
+        (U, Qb) program must equal the plain fan-out at the grown shape."""
+        p, dm = predictor
+        imgs = [s.image_path for s in dm.train[:2]]
+        qs = ["is it normal", "what organ is shown", "is it normal again"]
+        reqs = lambda: iter([(im, qs) for im in imgs])
+        plain = StreamingServer(p, image_batch=2, questions_per_image=4)
+        ref = sorted(plain.serve(reqs()), key=lambda r: r[0])
+        ada = StreamingServer(
+            p,
+            image_batch=2,
+            questions_per_image=2,
+            adaptive_q=True,
+            q_max=4,
+            dedup_questions=True,
+        )
+        got = sorted(ada.serve(reqs()), key=lambda r: r[0])
+        for (ia, la, na), (ib, lb, nb) in zip(ref, got):
+            assert ia == ib and na == nb == 3
+            np.testing.assert_allclose(
+                la[:na], lb[:nb], atol=2e-5, rtol=1e-5
+            )
+
     def test_pack_pairs_uneven_counts_match_plain(self, predictor):
         """Pair packing (the uneven-question batching scheduler) must give
         the same logits as the padded fan-out, yielding exactly n rows."""
