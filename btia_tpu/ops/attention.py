@@ -126,6 +126,11 @@ def _mha_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, *, scale):
 
 _BLOCK_Q = 256  # Q-dim tile: bounds the (block_q, Sk) score tile in VMEM
 
+# Long-seq (ViT) attention layout: True = the head-pad-free (B, S, H*D)
+# kernel (_bshd_flash_pallas), False = transpose + per-(b,h) flash kernel.
+# Measured on the serving step before flipping (BENCH_NOTES r3).
+_BSHD_FLASH_LONG_SEQ = True
+
 
 def _mha_pallas(q, k, v, kv_mask, interpret: bool) -> jax.Array:
     B, H, Sq, D = q.shape
@@ -425,6 +430,137 @@ _fanout_mha.defvjp(_fanout_fwd, _fanout_bwd)
 # XLA einsum path stays (e.g. training at batch 16-64 on CPU fixtures).
 _FANOUT_MIN_BATCH = 64
 
+
+# ---------------------------------------------------------------------------
+# Head-pad-free flash attention in the projection-native (B, S, H*D) layout
+# ---------------------------------------------------------------------------
+#
+# The per-(b,h) flash kernel above needs (B, H, S, Dh) inputs. For ViT-L
+# (H=16, Dh=64) that costs, around every attention site: two transpose
+# copies (BSHD→BHSD→BSHD) AND half-full lane tiles (Dh=64 of 128 lanes) on
+# q/k/v/out in HBM — profiled together at ~17 ms (~5%) of the serving step
+# (BENCH_NOTES "layout copies/pads"; VERDICT r2 next-round #4). This kernel
+# keeps the packed (B, S, H*D) layout end-to-end: H*D = 1024 is 8 FULL lane
+# tiles, no transpose exists anywhere, and one grid program computes ALL
+# heads of a q-tile by slicing the lane dim per head (same technique as
+# _fanout_kernel, which compiles efficiently at D=64 slices).
+
+
+def _bshd_flash_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, *, num_heads, scale):
+    hd = q_ref.shape[2]
+    d = hd // num_heads
+    q = q_ref[0]
+    k = k_ref[0]
+    v = v_ref[0]
+    bias = bias_ref[0]  # (1, Skp) additive f32, -inf at padded/masked keys
+    outs = []
+    for h in range(num_heads):
+        sl = slice(h * d, (h + 1) * d)
+        outs.append(
+            _attn_block(q[:, sl], k[:, sl], v[:, sl], bias, scale).astype(
+                o_ref.dtype
+            )
+        )
+    o_ref[0] = jnp.concatenate(outs, axis=-1)
+
+
+def _bshd_flash_pallas(q, k, v, kv_mask, num_heads: int, interpret: bool):
+    """q: (B, Sq, H*D); k, v: (B, Sk, H*D); kv_mask: (B, Sk) True=valid."""
+    B, Sq, HD = q.shape
+    Sk = k.shape[1]
+    D = HD // num_heads
+    scale = 1.0 / (D**0.5)
+
+    block_q = min(_BLOCK_Q, _round_up(Sq, 8))
+    Sqp = _round_up(Sq, block_q)
+    Skp = _round_up(Sk, 128)
+    qp = jnp.pad(q, ((0, 0), (0, Sqp - Sq), (0, 0)))
+    kp = jnp.pad(k, ((0, 0), (0, Skp - Sk), (0, 0)))
+    vp = jnp.pad(v, ((0, 0), (0, Skp - Sk), (0, 0)))
+    if kv_mask is None:
+        kv_mask = jnp.ones((B, Sk), dtype=bool)
+    maskp = jnp.pad(kv_mask, ((0, 0), (0, Skp - Sk)))
+    bias = jnp.where(maskp, 0.0, _NEG_INF).astype(jnp.float32)[:, None, :]
+
+    out = pl.pallas_call(
+        functools.partial(_bshd_flash_kernel, num_heads=num_heads, scale=scale),
+        out_shape=jax.ShapeDtypeStruct((B, Sqp, HD), q.dtype),
+        grid=(B, Sqp // block_q),
+        in_specs=[
+            pl.BlockSpec(
+                (1, block_q, HD), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (1, Skp, HD), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (1, Skp, HD), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (1, 1, Skp), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, block_q, HD), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * B * num_heads * Sqp * Skp * D,
+            bytes_accessed=(qp.size + kp.size + vp.size + B * Sqp * HD)
+            * qp.dtype.itemsize,
+            transcendentals=B * num_heads * Sqp * Skp,
+        ),
+        interpret=interpret,
+    )(qp, kp, vp, bias)
+    return out[:, :Sq]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
+def _bshd_mha(q, k, v, kv_mask, num_heads: int, interpret: bool):
+    return _bshd_flash_pallas(q, k, v, kv_mask, num_heads, interpret)
+
+
+def _bshd_fwd(q, k, v, kv_mask, num_heads, interpret):
+    out = _bshd_mha(q, k, v, kv_mask, num_heads, interpret)
+    return out, (q, k, v, kv_mask)
+
+
+def _bshd_bwd(num_heads, interpret, res, g):
+    # XLA rematerialisation (same policy as _mha_bwd) directly in the
+    # packed layout; kv_mask is the standard additive-bias softmax mask.
+    q, k, v, kv_mask = res
+    B, Sq, HD = q.shape
+    Sk = k.shape[1]
+    D = HD // num_heads
+    scale = 1.0 / (D**0.5)
+    q4 = q.reshape(B, Sq, num_heads, D)
+    k4 = k.reshape(B, Sk, num_heads, D)
+    v4 = v.reshape(B, Sk, num_heads, D)
+    s = jnp.einsum("bqhd,bkhd->bhqk", q4, k4, preferred_element_type=jnp.float32)
+    s = s * scale
+    if kv_mask is not None:
+        s = s + jnp.where(kv_mask, 0.0, _NEG_INF).astype(jnp.float32)[
+            :, None, None, :
+        ]
+    p = jax.nn.softmax(s, axis=-1)
+    g4 = g.reshape(B, Sq, num_heads, D).astype(jnp.float32)
+    dv = jnp.einsum("bhqk,bqhd->bkhd", p, g4)
+    dp = jnp.einsum("bqhd,bkhd->bhqk", g4, v4.astype(jnp.float32))
+    ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
+    dq = jnp.einsum("bhqk,bkhd->bqhd", ds, k4.astype(jnp.float32)) * scale
+    dk = jnp.einsum("bhqk,bqhd->bkhd", ds, q4.astype(jnp.float32)) * scale
+    return (
+        dq.reshape(B, Sq, HD).astype(q.dtype),
+        dk.reshape(B, Sk, HD).astype(k.dtype),
+        dv.reshape(B, Sk, HD).astype(v.dtype),
+        None,
+    )
+
+
+_bshd_mha.defvjp(_bshd_fwd, _bshd_bwd)
+
 # Head-packing (one (H*Sq, H*Sk) block-diag-masked matmul per batch item)
 # was hypothesized to beat batched tiny matmuls, but measured SLOWER than
 # XLA's batched einsum on v5e (benchmarks/attention_bench.py: bert fanout
@@ -511,6 +647,18 @@ def mha_bshd(
     Sk = k.shape[1]
     on_tpu = _resolved_impl() == "pallas"
     if on_tpu and Sq * Sk > _SMALL_SCORE_TILE:
+        if _BSHD_FLASH_LONG_SEQ and D % 64 == 0 and (H * D) % 128 == 0:
+            # Head-pad-free path: stays in (B, S, H*D) — no transpose
+            # copies, full lane tiles (see _bshd_flash_pallas).
+            out = _bshd_mha(
+                q.reshape(B, Sq, H * D),
+                k.reshape(B, Sk, H * D),
+                v.reshape(B, Sk, H * D),
+                kv_mask,
+                H,
+                interpret,
+            )
+            return out.reshape(B, Sq, H, D)
         t = lambda x: x.transpose(0, 2, 1, 3)
         return t(_mha(t(q), t(k), t(v), kv_mask, True, interpret))
     if on_tpu and B >= _FANOUT_MIN_BATCH and D % 64 == 0:

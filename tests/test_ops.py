@@ -128,6 +128,76 @@ class TestFanoutMHA:
         assert bool(jnp.isfinite(out).all())
 
 
+class TestBshdFlash:
+    """Head-pad-free long-seq kernel (projection-native (B,S,H*D) layout,
+    VERDICT r2 #4 'layout copies/pads' residual) vs reference."""
+
+    def _ref_packed(self, q, k, v, mask, H):
+        B, Sq, HD = q.shape
+        Sk = k.shape[1]
+        D = HD // H
+        t = lambda x, s: x.reshape(B, s, H, D).transpose(0, 2, 1, 3)
+        out = mha_reference(t(q, Sq), t(k, Sk), t(v, Sk), mask)
+        return out.transpose(0, 2, 1, 3).reshape(B, Sq, HD)
+
+    @pytest.mark.parametrize(
+        "B,Sq,Sk,H,D",
+        [
+            (2, 577, 577, 16, 64),  # ViT-L/336 self-attention (the target)
+            (2, 197, 197, 12, 64),  # ViT-B/16 self-attention
+            (1, 300, 140, 4, 64),  # ragged seqs: q-tile + Sk lane padding
+        ],
+    )
+    def test_matches_reference(self, rng, B, Sq, Sk, H, D):
+        from btia_tpu.ops.attention import _bshd_mha
+
+        q, k, v = (_rand(rng, B, s, H * D) for s in (Sq, Sk, Sk))
+        mask = jnp.asarray(rng.rand(B, Sk) > 0.3).at[:, 0].set(True)
+        out = _bshd_mha(q, k, v, mask, H, True)
+        ref = self._ref_packed(q, k, v, mask, H)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+    def test_no_mask_matches_reference(self, rng):
+        from btia_tpu.ops.attention import _bshd_mha
+
+        B, S, H, D = 2, 260, 4, 64
+        q, k, v = (_rand(rng, B, S, H * D) for _ in range(3))
+        out = _bshd_mha(q, k, v, None, H, True)
+        ref = self._ref_packed(q, k, v, None, H)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+    def test_bf16(self, rng):
+        from btia_tpu.ops.attention import _bshd_mha
+
+        B, S, H, D = 1, 300, 4, 64
+        q, k, v = (
+            _rand(rng, B, S, H * D).astype(jnp.bfloat16) for _ in range(3)
+        )
+        out = _bshd_mha(q, k, v, None, H, True)
+        ref = self._ref_packed(q, k, v, None, H)
+        np.testing.assert_allclose(
+            np.asarray(out, np.float32), np.asarray(ref, np.float32), atol=2e-2
+        )
+
+    def test_gradients_match_reference(self, rng):
+        from btia_tpu.ops.attention import _bshd_mha
+
+        B, Sq, Sk, H, D = 1, 96, 72, 2, 64
+        q, k, v = (_rand(rng, B, s, H * D) for s in (Sq, Sk, Sk))
+        mask = jnp.asarray(rng.rand(B, Sk) > 0.3).at[:, 0].set(True)
+
+        def loss_ker(q, k, v):
+            return jnp.sum(_bshd_mha(q, k, v, mask, H, True) ** 2)
+
+        def loss_ref(q, k, v):
+            return jnp.sum(self._ref_packed(q, k, v, mask, H) ** 2)
+
+        gk = jax.grad(loss_ker, argnums=(0, 1, 2))(q, k, v)
+        gr = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+        for a, b in zip(gk, gr):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
+
+
 class TestBicross:
     def test_matches_reference(self, rng):
         B, H, Ni, Nt, D = 2, 2, 13, 9, 32
