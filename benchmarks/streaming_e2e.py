@@ -97,6 +97,20 @@ def main() -> None:
         "the oldest pending request has waited this long",
     )
     ap.add_argument(
+        "--adaptive-q",
+        action="store_true",
+        help="workload-adaptive launch shape: grow the Q bucket up to "
+        "--q-max when requests carry more than --questions questions",
+    )
+    ap.add_argument("--q-max", type=int, default=None)
+    ap.add_argument(
+        "--request-questions",
+        type=int,
+        default=None,
+        help="questions carried per request (default --questions); set "
+        "above --questions with --adaptive-q to exercise the grown bucket",
+    )
+    ap.add_argument(
         "--reps",
         type=int,
         default=1,
@@ -182,12 +196,15 @@ def main() -> None:
         pair_budget=args.pair_budget,
         max_in_flight=args.in_flight,
         max_wait_ms=args.max_wait_ms,
+        adaptive_q=args.adaptive_q,
+        q_max=args.q_max,
     )
 
+    req_q = args.request_questions or args.questions
     counts = (
-        [max(args.questions // 8, 1) * m for m in (1, 2, 4, 8)]
+        [max(req_q // 8, 1) * m for m in (1, 2, 4, 8)]
         if args.uneven
-        else [args.questions]
+        else [req_q]
     )
 
     def requests(items):
@@ -240,6 +257,8 @@ def main() -> None:
             "dedup_questions": args.dedup,
             "pack_pairs": args.pack,
             "uneven": args.uneven,
+            "adaptive_q": args.adaptive_q,
+            "request_questions": req_q,
             "max_wait_ms": args.max_wait_ms,
             "wall_s": round(server.wall_seconds, 3),
             "compile_s": round(compile_s, 1),
