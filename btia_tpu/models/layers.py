@@ -141,13 +141,25 @@ class Mlp(nn.Module):
     dim: int
     hidden_dim: int
     policy: DTypePolicy = DTypePolicy()
-    # exact (erf) GELU — the torchvision/timm/HF convention, so converted
-    # PyTorch checkpoints agree at the 1e-4 logit level [SURVEY §7.3].
-    act: Callable = functools.partial(nn.gelu, approximate=False)
+    # None → policy-selected GELU flavor (resolved in __call__):
+    #   fp32 policy: exact erf — the torchvision/timm/HF convention, so
+    #     converted PyTorch checkpoints agree at the 1e-4 logit level
+    #     [SURVEY §7.3]; this is the parity rail.
+    #   bf16 policy: tanh approximation — the erf epilogue throttles the
+    #     fused fc1→gelu→fc2 chain to 81/69 TF/s at the two dominant
+    #     serving shapes where tanh runs at the no-activation bound
+    #     (105/86 TF/s; gelu microbench, BENCH_NOTES r3). Max
+    #     |erf−tanh| ≈ 3e-3 sits below bf16's own rounding step
+    #     (eps ≈ 8e-3), so the bf16 path loses no representable accuracy.
+    act: Callable | None = None
     dropout: float = 0.0
 
     @nn.compact
     def __call__(self, x: jax.Array, deterministic: bool = True) -> jax.Array:
+        act = self.act
+        if act is None:
+            exact = self.policy.compute_dtype == jnp.float32
+            act = functools.partial(nn.gelu, approximate=not exact)
         fc1 = QuantizableDense(self.hidden_dim, self.policy, name="fc1")
         fc2 = QuantizableDense(self.dim, self.policy, name="fc2")
         if self.policy.int8 and deterministic:
@@ -161,7 +173,7 @@ class Mlp(nn.Module):
         # optimization_barrier was measured SLOWER end-to-end (431 vs
         # 338 ms/step, BENCH_NOTES r2) despite higher per-matmul TF/s —
         # the fused op's skipped HBM round trip and better overlap win.
-        x = self.act(fc1(x))
+        x = act(fc1(x))
         x = nn.Dropout(self.dropout)(x, deterministic=deterministic)
         return fc2(x)
 
