@@ -36,3 +36,49 @@ class TestLayerNorm:
         s, b = jnp.ones(64), jnp.zeros(64)
         g = jax.grad(lambda x: jnp.sum(layernorm(x, s, b) ** 2))(x)
         assert bool(jnp.isfinite(g).all())
+
+
+class TestMlpGeluPolicy:
+    """The Mlp activation is policy-selected (BENCH_NOTES r3): exact-erf
+    GELU on the fp32 parity path (torch/HF convention), tanh approximation
+    on the bf16 serving path where erf throttled every fused MLP chain
+    (81→105 TF/s at the BTIA img fc1 shape) and |erf−tanh| ≈ 3e-3 sits
+    below bf16's rounding step."""
+
+    def _apply(self, policy, x, rng):
+        from btia_tpu.models.layers import Mlp
+
+        m = Mlp(dim=x.shape[-1], hidden_dim=2 * x.shape[-1], policy=policy)
+        vars_ = m.init(jax.random.PRNGKey(0), x)
+        return m.apply(vars_, x), vars_, m
+
+    def _manual(self, vars_, x, policy, approximate):
+        w1 = vars_["params"]["fc1"]["kernel"].astype(policy.compute_dtype)
+        b1 = vars_["params"]["fc1"]["bias"]
+        w2 = vars_["params"]["fc2"]["kernel"].astype(policy.compute_dtype)
+        b2 = vars_["params"]["fc2"]["bias"]
+        cd = policy.compute_dtype
+        h = x.astype(cd) @ w1 + b1.astype(jnp.float32 if cd == jnp.float32 else cd)
+        h = nn.gelu(h, approximate=approximate)
+        return h @ w2 + b2.astype(cd)
+
+    def test_fp32_uses_exact_erf(self, rng):
+        from btia_tpu.core.dtypes import FP32_POLICY
+
+        x = jnp.asarray(rng.randn(6, 64), jnp.float32)
+        out, vars_, _ = self._apply(FP32_POLICY, x, rng)
+        erf = self._manual(vars_, x, FP32_POLICY, approximate=False)
+        tanh = self._manual(vars_, x, FP32_POLICY, approximate=True)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(erf), atol=1e-5)
+        # the two flavors are distinguishable at fp32 — the assert means something
+        assert np.abs(np.asarray(erf) - np.asarray(tanh)).max() > 1e-6
+
+    def test_bf16_uses_tanh_approx(self, rng):
+        from btia_tpu.core.dtypes import BF16_POLICY
+
+        x = jnp.asarray(rng.randn(6, 64), jnp.bfloat16)
+        out, vars_, _ = self._apply(BF16_POLICY, x, rng)
+        tanh = self._manual(vars_, x, BF16_POLICY, approximate=True)
+        np.testing.assert_allclose(
+            np.asarray(out, np.float32), np.asarray(tanh, np.float32), atol=1e-5
+        )
