@@ -124,7 +124,26 @@ def _mha_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, *, scale):
     ).astype(o_ref.dtype)
 
 
-_BLOCK_Q = 256  # Q-dim tile: bounds the (block_q, Sk) score tile in VMEM
+_BLOCK_Q = 256  # max Q-dim tile: bounds the (block_q, Sk) score tile in VMEM
+
+
+def _pick_block_q(Sq: int) -> int:
+    """Q tile minimizing padded rows (the kernel is VPU-softmax-bound, so
+    wasted score rows cost linearly). Short seqs (≤ _BLOCK_Q) keep the
+    round-2 rule — one exact-fit tile, zero padding. Longer seqs pick the
+    pad-minimizing tile from {256, 128, 64}: 577-token ViT-L pads to 768
+    under a fixed 256 tile but only 640 under 128 (profiled as
+    bf16[16,768,1024] attn outputs, BENCH_NOTES r3). Ties prefer the
+    larger tile — fewer grid programs reload K/V fewer times."""
+    exact = _round_up(Sq, 8)
+    if exact <= 640:
+        return exact
+    best = (_round_up(Sq, _BLOCK_Q), _BLOCK_Q)
+    for cand in (128, 64):
+        padded = _round_up(Sq, cand)
+        if padded < best[0]:
+            best = (padded, cand)
+    return best[1]
 
 # Long-seq (ViT) attention layout: True = the head-pad-free (B, S, H*D)
 # kernel (_bshd_flash_pallas), False = transpose + per-(b,h) flash kernel.
@@ -144,7 +163,7 @@ def _mha_pallas(q, k, v, kv_mask, interpret: bool) -> jax.Array:
     # K/V stay whole in VMEM (no online softmax needed); Q is tiled so
     # the score tile stays small and all grid dims are megacore-parallel.
     Dp = D if D % 64 == 0 else _round_up(D, 128)
-    block_q = min(_BLOCK_Q, _round_up(Sq, 8))
+    block_q = _pick_block_q(Sq)
     Sqp = _round_up(Sq, block_q)
     Skp = _round_up(Sk, 128)  # Sk is the lane dim of the score tile
 
@@ -471,7 +490,7 @@ def _bshd_flash_pallas(q, k, v, kv_mask, num_heads: int, interpret: bool):
     D = HD // num_heads
     scale = 1.0 / (D**0.5)
 
-    block_q = min(_BLOCK_Q, _round_up(Sq, 8))
+    block_q = _pick_block_q(Sq)
     Sqp = _round_up(Sq, block_q)
     Skp = _round_up(Sk, 128)
     qp = jnp.pad(q, ((0, 0), (0, Sqp - Sq), (0, 0)))
