@@ -68,6 +68,14 @@ def main() -> None:
     ap.add_argument("--num-images", type=int, default=160)
     ap.add_argument("--image-encoder", default="resnet_tiny")
     ap.add_argument(
+        "--enhanced-small",
+        action="store_true",
+        help="shrunk Enhanced stack (vit_test + 2-layer BERT + 2 BTIA "
+        "layers + factorized AD head) instead of the tiny_test "
+        "(resnet+LSTM+mlp) base — the architecture the serving configs "
+        "actually run, at toy width",
+    )
+    ap.add_argument(
         "--ablate",
         default="none",
         choices=["none", "fusion", "pool", "dtype", "head", "all"],
@@ -96,6 +104,20 @@ def main() -> None:
     model0 = replace(base.model, image_encoder=args.image_encoder)
     if args.image_encoder == "vit_test":
         model0 = replace(model0, image_pool_grid=0)
+    if args.enhanced_small:
+        model0 = replace(
+            model0,
+            image_encoder="vit_test",
+            image_pool_grid=0,
+            question_encoder="bert",
+            bert_layers=2,
+            bert_hidden=64,
+            bert_heads=4,
+            bert_vocab_size=256,
+            btia_layers=2,
+            head="ad",
+            num_answer_queries=0,
+        )
 
     variants = {"base": model0}
     if args.ablate in ("fusion", "all"):
