@@ -29,10 +29,65 @@ SHAPES = [
 ]
 
 
+def fanout_sweep(steps: int) -> None:
+    """Sweep _FANOUT_G (bb-blocks per grid program) at the serving-real
+    fan-out shapes (B = B_img·Q = 2048). Informs the _FANOUT_G default."""
+    import jax
+    import jax.numpy as jnp
+
+    from btia_tpu.ops import attention as A
+
+    # (site, B, Sq, Sk, H, D) in the projection-native (B, S, H*D) layout.
+    shapes = [
+        ("bert_fanout", 2048, 32, 32, 12, 64),
+        ("btia_txt2img", 2048, 32, 50, 12, 64),
+        ("btia_img2txt", 2048, 50, 32, 12, 64),
+        ("ad_head", 2048, 64, 82, 12, 64),
+    ]
+    rng = np.random.RandomState(0)
+    K = 20
+    for site, B, Sq, Sk, H, D in shapes:
+        q = jnp.asarray(rng.randn(B, Sq, H * D), jnp.bfloat16)
+        k = jnp.asarray(rng.randn(B, Sk, H * D), jnp.bfloat16)
+        v = jnp.asarray(rng.randn(B, Sk, H * D), jnp.bfloat16)
+        cm = jnp.ones((B, Sk), jnp.float32)
+        for g in (1, 2, 4, 8):
+            A._FANOUT_G = g
+
+            def f_body(q, k, v):
+                def body(i, acc):
+                    qi = q + (i * 1e-6).astype(q.dtype)
+                    out = A._fanout_mha(qi, k, v, cm, H, False)
+                    return acc + out.sum().astype(jnp.float32)
+
+                return jax.lax.fori_loop(0, K, body, jnp.float32(0))
+
+            try:
+                f = jax.jit(f_body)
+                float(f(q, k, v))
+                t0 = time.perf_counter()
+                for _ in range(steps):
+                    float(f(q, k, v))
+                dt = (time.perf_counter() - t0) / steps / K
+                print(
+                    json.dumps(
+                        {"site": site, "g": g, "ms": round(dt * 1000, 3)}
+                    ),
+                    flush=True,
+                )
+            except Exception as e:  # noqa: BLE001
+                print(
+                    json.dumps({"site": site, "g": g, "error": str(e)[:120]}),
+                    flush=True,
+                )
+    A._FANOUT_G = 1
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--steps", type=int, default=10)
     ap.add_argument("--sites", default="")
+    ap.add_argument("--fanout-sweep", action="store_true")
     args = ap.parse_args()
 
     import jax
@@ -42,6 +97,10 @@ def main() -> None:
 
     from btia_tpu.ops import attention as A
     from btia_tpu.ops.attention import mha, mha_bshd
+
+    if args.fanout_sweep:
+        fanout_sweep(args.steps)
+        return
 
     rng = np.random.RandomState(0)
     for site, B, H, Sq, Sk, D in SHAPES:

@@ -297,53 +297,71 @@ _SMALL_SCORE_TILE = 32_768  # Sq * Sk elements
 # (BENCH_NOTES round 1) — is amortized ~100×.
 
 
-def _fanout_kernel(q_ref, k_ref, v_ref, cmask_ref, o_ref, *, num_heads, scale):
-    bb, sq, hd = q_ref.shape
+def _fanout_kernel(
+    q_ref, k_ref, v_ref, cmask_ref, o_ref, *, num_heads, scale, bb
+):
+    g_bb, sq, hd = q_ref.shape
+    g = g_bb // bb
     sk = k_ref.shape[1]
     d = hd // num_heads
-    # Fold the softmax scale into q: one multiply over (rows, D) instead
-    # of over the bb×-wider score tile.
-    q = (q_ref[:].astype(jnp.float32) * scale).astype(q_ref.dtype)
-    q = q.reshape(bb * sq, hd)
-    k = k_ref[:].reshape(bb * sk, hd)
-    v = v_ref[:].reshape(bb * sk, hd)
     # Valid = same batch element AND unpadded key. cmask_ref comes in
-    # pre-flattened to (1, bb*sk) f32 {0,1}; the block-diagonal part is an
-    # iota compare. The mask is applied as a -1e9 additive bias BEFORE the
-    # row max: shift-invariance of softmax holds mathematically for a
-    # post-mask max, but not in finite precision — a huge invalid score
-    # (cross-batch pair, garbage padded key) would push the shift so far
-    # that every VALID exp(s-m) underflows to 0 and the row's output
-    # silently collapses. Biasing first keeps the max over valid entries;
-    # masked entries underflow to exact 0 in the exp, preserving the
-    # exact-zero semantics the backward pass mirrors.
+    # pre-flattened to (1, g, bb*sk) f32 {0,1}; the block-diagonal part is
+    # an iota compare (identical for every inner block — hoisted). The
+    # mask is applied as a -1e9 additive bias BEFORE the row max:
+    # shift-invariance of softmax holds mathematically for a post-mask
+    # max, but not in finite precision — a huge invalid score (cross-batch
+    # pair, garbage padded key) would push the shift so far that every
+    # VALID exp(s-m) underflows to 0 and the row's output silently
+    # collapses. Biasing first keeps the max over valid entries; masked
+    # entries underflow to exact 0 in the exp, preserving the exact-zero
+    # semantics the backward pass mirrors.
     rows_b = jax.lax.broadcasted_iota(jnp.int32, (bb * sq, bb * sk), 0) // sq
     cols_b = jax.lax.broadcasted_iota(jnp.int32, (bb * sq, bb * sk), 1) // sk
-    mask = jnp.where(rows_b == cols_b, cmask_ref[0], 0.0)
-    neg_bias = (1.0 - mask) * 1e9
-    outs = []
-    for h in range(num_heads):
-        sl = slice(h * d, (h + 1) * d)
-        s = jax.lax.dot_general(
-            q[:, sl],
-            k[:, sl],
-            dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        s = s - neg_bias
-        m = jnp.max(s, axis=-1, keepdims=True)
-        e = jnp.exp(s - m) * mask
-        denom = jnp.maximum(jnp.sum(e, axis=-1, keepdims=True), 1e-30)
-        p = (e / denom).astype(v.dtype)
-        outs.append(
-            jax.lax.dot_general(
-                p,
-                v[:, sl],
-                dimension_numbers=(((1,), (0,)), ((), ())),
+    diag = rows_b == cols_b
+    for j in range(g):
+        blk = slice(j * bb, (j + 1) * bb)
+        # Fold the softmax scale into q: one multiply over (rows, D)
+        # instead of over the bb×-wider score tile.
+        q = (q_ref[blk].astype(jnp.float32) * scale).astype(q_ref.dtype)
+        q = q.reshape(bb * sq, hd)
+        k = k_ref[blk].reshape(bb * sk, hd)
+        v = v_ref[blk].reshape(bb * sk, hd)
+        mask = jnp.where(diag, cmask_ref[0, j], 0.0)
+        neg_bias = (1.0 - mask) * 1e9
+        outs = []
+        for h in range(num_heads):
+            sl = slice(h * d, (h + 1) * d)
+            s = jax.lax.dot_general(
+                q[:, sl],
+                k[:, sl],
+                dimension_numbers=(((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
-            ).astype(o_ref.dtype)
-        )
-    o_ref[:] = jnp.concatenate(outs, axis=-1).reshape(bb, sq, hd)
+            )
+            s = s - neg_bias
+            m = jnp.max(s, axis=-1, keepdims=True)
+            e = jnp.exp(s - m) * mask
+            denom = jnp.maximum(jnp.sum(e, axis=-1, keepdims=True), 1e-30)
+            p = (e / denom).astype(v.dtype)
+            outs.append(
+                jax.lax.dot_general(
+                    p,
+                    v[:, sl],
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                ).astype(o_ref.dtype)
+            )
+        o_ref[blk] = jnp.concatenate(outs, axis=-1).reshape(bb, sq, hd)
+
+
+# Batch blocks per grid program. Each grid step DMAs one (bb, S, H*D)
+# q/k/v/out block and runs ~0.5 μs of MXU work — at serving shapes the
+# grid is ~512 steps/site × 16 sites, so per-step pipeline overhead is a
+# first-order cost. Processing _FANOUT_G blocks per program amortizes it
+# (bigger DMAs, fewer steps) without changing the math or the bb packing.
+# Swept on the v5e via attention_bench --fanout-sweep; VMEM bound: the
+# in+out working set is g·bb·(Sq+2·Sk+Sq)·H*D·2B ×2 (double buffering),
+# ≤ ~6 MB of the 16 MB/core at g=4 for every serving shape.
+_FANOUT_G = 1
 
 
 def _fanout_pallas(q, k, v, colmask, num_heads: int, interpret: bool):
@@ -359,29 +377,38 @@ def _fanout_pallas(q, k, v, colmask, num_heads: int, interpret: bool):
     bb = 1
     while bb < 32 and 2 * bb * max(Sq, Sk) <= 256:
         bb *= 2
-    Bp = _round_up(B, bb)
+    g = max(1, min(_FANOUT_G, B // bb))
+    Bp = _round_up(B, bb * g)
     if Bp != B:
         pad = ((0, Bp - B), (0, 0), (0, 0))
         q = jnp.pad(q, pad)
         k = jnp.pad(k, pad)
         v = jnp.pad(v, pad)
         colmask = jnp.pad(colmask, ((0, Bp - B), (0, 0)))
-    cm = colmask.reshape(Bp // bb, 1, bb * Sk)
+    cm = colmask.reshape(Bp // (bb * g), g, bb * Sk)
 
     out = pl.pallas_call(
-        functools.partial(_fanout_kernel, num_heads=num_heads, scale=scale),
+        functools.partial(
+            _fanout_kernel, num_heads=num_heads, scale=scale, bb=bb
+        ),
         out_shape=jax.ShapeDtypeStruct((Bp, Sq, HD), q.dtype),
-        grid=(Bp // bb,),
+        grid=(Bp // (bb * g),),
         in_specs=[
-            pl.BlockSpec((bb, Sq, HD), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((bb, Sk, HD), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((bb, Sk, HD), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(
-                (1, 1, bb * Sk), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+                (bb * g, Sq, HD), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (bb * g, Sk, HD), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (bb * g, Sk, HD), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (1, g, bb * Sk), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
             ),
         ],
         out_specs=pl.BlockSpec(
-            (bb, Sq, HD), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+            (bb * g, Sq, HD), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
         ),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel",),

@@ -127,6 +127,26 @@ class TestFanoutMHA:
         out = _fanout_mha(q, k, v, mask, H, True)
         assert bool(jnp.isfinite(out).all())
 
+    @pytest.mark.parametrize("g", [2, 4])
+    @pytest.mark.parametrize("B", [128, 100])  # 100: pads to the g·bb grid
+    def test_grid_blocked_matches_reference(self, rng, g, B):
+        """_FANOUT_G > 1 (several bb-blocks per grid program) is a pure
+        scheduling change — results must be bit-compatible with g=1's
+        math (both compared to the packed reference)."""
+        from btia_tpu.ops import attention as A
+
+        Sq, Sk, H, D = 32, 32, 4, 64
+        q, k, v = (_rand(rng, B, s, H * D) for s in (Sq, Sk, Sk))
+        mask = jnp.asarray(rng.rand(B, Sk) > 0.3).at[:, 0].set(True)
+        old = A._FANOUT_G
+        try:
+            A._FANOUT_G = g
+            out = _fanout_mha(q, k, v, mask.astype(jnp.float32), H, True)
+        finally:
+            A._FANOUT_G = old
+        ref = self._ref_packed(q, k, v, mask, H)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
 
 class TestBshdFlash:
     """Head-pad-free long-seq kernel (projection-native (B,S,H*D) layout,
