@@ -30,8 +30,9 @@ SHAPES = [
 
 
 def fanout_sweep(steps: int) -> None:
-    """Sweep _FANOUT_G (bb-blocks per grid program) at the serving-real
-    fan-out shapes (B = B_img·Q = 2048). Informs the _FANOUT_G default."""
+    """Sweep the fan-out kernel's scheduling knob (_FANOUT_PACK, the bb
+    row-packing target) at the serving-real fan-out shapes
+    (B = B_img·Q = 2048)."""
     import jax
     import jax.numpy as jnp
 
@@ -51,8 +52,13 @@ def fanout_sweep(steps: int) -> None:
         k = jnp.asarray(rng.randn(B, Sk, H * D), jnp.bfloat16)
         v = jnp.asarray(rng.randn(B, Sk, H * D), jnp.bfloat16)
         cm = jnp.ones((B, Sk), jnp.float32)
-        for g in (1, 2, 4, 8):
-            A._FANOUT_G = g
+        # g>1 measured uniformly non-winning (and g=8 fails remote compile
+        # at some shapes), and the phase-separated schedule measured
+        # equal-or-worse at every site (BENCH_NOTES r3) — both fixed now.
+        # The remaining scheduling knob is the bb row-packing target.
+        for pack in (256, 512):
+            A._FANOUT_G = 1
+            A._FANOUT_PACK = pack
 
             def f_body(q, k, v):
                 def body(i, acc):
@@ -71,16 +77,22 @@ def fanout_sweep(steps: int) -> None:
                 dt = (time.perf_counter() - t0) / steps / K
                 print(
                     json.dumps(
-                        {"site": site, "g": g, "ms": round(dt * 1000, 3)}
+                        {
+                            "site": site,
+                            "pack": pack,
+                            "ms": round(dt * 1000, 3),
+                        }
                     ),
                     flush=True,
                 )
             except Exception as e:  # noqa: BLE001
                 print(
-                    json.dumps({"site": site, "g": g, "error": str(e)[:120]}),
+                    json.dumps(
+                        {"site": site, "pack": pack, "error": str(e)[:120]}
+                    ),
                     flush=True,
                 )
-    A._FANOUT_G = 1
+    A._FANOUT_PACK = 256
 
 
 def main() -> None:

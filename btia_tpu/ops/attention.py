@@ -31,6 +31,12 @@ from jax.experimental.pallas import tpu as pltpu
 
 _NEG_INF = -1e9
 
+# exp(x) = exp2(x·log2 e): folding this constant into the softmax scale
+# (applied to q, once, over the small (rows, D) operand) turns the VPU
+# transcendental into a bare exp2 and deletes the per-element score-tile
+# multiply — the score tile is Sk/D ≈ 10× larger than q.
+_LOG2E = 1.4426950408889634
+
 _IMPL = "auto"  # 'auto' | 'pallas' | 'xla'
 
 
@@ -118,9 +124,44 @@ def _attn_block(q, k, v, bias_row, scale, accum_dtype=jnp.float32):
     return jnp.dot(p, v, preferred_element_type=accum_dtype)
 
 
-def _mha_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, *, scale):
-    o_ref[0, 0] = _attn_block(
-        q_ref[0, 0], k_ref[0, 0], v_ref[0, 0], bias_ref[0], scale
+def _attn_block_log2(q, k, v, bias_row, accum_dtype=jnp.float32, defer_div=True):
+    """Slimmed softmax chain: q is pre-scaled by scale·log2(e) (caller),
+    so scores live in the log2 domain — exp2 replaces exp and the score
+    multiply vanishes. bias_row values are 0 / -1e9, valid in either
+    domain; None skips the add entirely (unmasked, exact-fit keys).
+
+    defer_div=True normalizes AFTER the PV matmul — dividing the (Sq, D)
+    accumulator instead of the (Sq, Sk) probability tile shrinks the
+    divide pass Sk/D ≈ 10×, but keeps an f32 accumulator alive per call;
+    in a kernel that loops this block over many heads the accumulators
+    stack in scoped VMEM (measured: 21.07M > the 16M limit for the
+    16-head ViT-L bshd kernel at the exact-fit 584 q tile → compile
+    failure), so multi-head-loop callers pass defer_div=False.
+    """
+    s = jax.lax.dot_general(
+        q,
+        k,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=accum_dtype,
+    )
+    if bias_row is not None:
+        s = s + bias_row
+    m = jnp.max(s, axis=-1, keepdims=True)
+    e = jnp.exp2(s - m)
+    denom = jnp.sum(e, axis=-1, keepdims=True)
+    if defer_div:
+        acc = jnp.dot(e.astype(v.dtype), v, preferred_element_type=accum_dtype)
+        return acc / denom
+    p = (e / denom).astype(v.dtype)
+    return jnp.dot(p, v, preferred_element_type=accum_dtype)
+
+
+def _mha_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, *, has_bias):
+    o_ref[0, 0] = _attn_block_log2(
+        q_ref[0, 0],
+        k_ref[0, 0],
+        v_ref[0, 0],
+        bias_ref[0] if has_bias else None,
     ).astype(o_ref.dtype)
 
 
@@ -167,10 +208,17 @@ def _mha_pallas(q, k, v, kv_mask, interpret: bool) -> jax.Array:
     Sqp = _round_up(Sq, block_q)
     Skp = _round_up(Sk, 128)  # Sk is the lane dim of the score tile
 
+    # Prescale q by scale·log2(e): scores arrive in the log2 domain (see
+    # _attn_block_log2). One elementwise pass over q, fused by XLA into
+    # the pad — vs a multiply over the Sk/D ≈ 10× larger score tile.
+    q = (q.astype(jnp.float32) * (scale * _LOG2E)).astype(q.dtype)
     qp = jnp.pad(q, ((0, 0), (0, 0), (0, Sqp - Sq), (0, Dp - D)))
     kp = jnp.pad(k, ((0, 0), (0, 0), (0, Skp - Sk), (0, Dp - D)))
     vp = jnp.pad(v, ((0, 0), (0, 0), (0, Skp - Sk), (0, Dp - D)))
 
+    # The bias add over the (block_q, Skp) score tile is only needed when
+    # a real mask exists or padded key columns must be suppressed.
+    has_bias = kv_mask is not None or Skp != Sk
     if kv_mask is None:
         kv_mask = jnp.ones((B, Sk), dtype=bool)
     maskp = jnp.pad(kv_mask, ((0, 0), (0, Skp - Sk)))
@@ -178,7 +226,7 @@ def _mha_pallas(q, k, v, kv_mask, interpret: bool) -> jax.Array:
 
     grid = (B, H, Sqp // block_q)
     out = pl.pallas_call(
-        functools.partial(_mha_kernel, scale=scale),
+        functools.partial(_mha_kernel, has_bias=has_bias),
         out_shape=jax.ShapeDtypeStruct((B, H, Sqp, Dp), q.dtype),
         grid=grid,
         in_specs=[
@@ -320,14 +368,23 @@ def _fanout_kernel(
     diag = rows_b == cols_b
     for j in range(g):
         blk = slice(j * bb, (j + 1) * bb)
-        # Fold the softmax scale into q: one multiply over (rows, D)
-        # instead of over the bb×-wider score tile.
-        q = (q_ref[blk].astype(jnp.float32) * scale).astype(q_ref.dtype)
+        # Fold the softmax scale AND log2(e) into q: one multiply over
+        # (rows, D) instead of over the bb×-wider score tile; scores then
+        # live in the log2 domain so the softmax uses bare exp2 (the
+        # -1e9 mask bias is domain-agnostic).
+        q = (q_ref[blk].astype(jnp.float32) * (scale * _LOG2E)).astype(
+            q_ref.dtype
+        )
         q = q.reshape(bb * sq, hd)
         k = k_ref[blk].reshape(bb * sk, hd)
         v = v_ref[blk].reshape(bb * sk, hd)
         mask = jnp.where(diag, cmask_ref[0, j], 0.0)
         neg_bias = (1.0 - mask) * 1e9
+        # Per-head interleaved schedule. A phase-separated variant (all
+        # score matmuls → one stacked softmax → all PV matmuls, to stop
+        # MXU↔VPU ping-pong) measured equal-or-worse at every serving
+        # shape (bert 2.90 vs 2.93, ad_head 6.83 vs 7.19 ms — BENCH_NOTES
+        # r3 schedule sweep); Mosaic already overlaps the units fine.
         outs = []
         for h in range(num_heads):
             sl = slice(h * d, (h + 1) * d)
@@ -339,17 +396,19 @@ def _fanout_kernel(
             )
             s = s - neg_bias
             m = jnp.max(s, axis=-1, keepdims=True)
-            e = jnp.exp(s - m) * mask
+            e = jnp.exp2(s - m) * mask
             denom = jnp.maximum(jnp.sum(e, axis=-1, keepdims=True), 1e-30)
-            p = (e / denom).astype(v.dtype)
-            outs.append(
-                jax.lax.dot_general(
-                    p,
-                    v[:, sl],
-                    dimension_numbers=(((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                ).astype(o_ref.dtype)
+            # Normalize AFTER the PV matmul: a (rows, D) divide replaces
+            # a (rows, bb·Sk) divide — bb·Sk/D ≈ 2-5× less VPU work, and
+            # exact zeros at masked keys are preserved (e itself is
+            # masked).
+            acc = jax.lax.dot_general(
+                e.astype(v.dtype),
+                v[:, sl],
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
             )
+            outs.append((acc / denom).astype(o_ref.dtype))
         o_ref[blk] = jnp.concatenate(outs, axis=-1).reshape(bb, sq, hd)
 
 
@@ -363,6 +422,11 @@ def _fanout_kernel(
 # ≤ ~6 MB of the 16 MB/core at g=4 for every serving shape.
 _FANOUT_G = 1
 
+# 2× the packed-row target for bb selection (256 → bb·max(Sq,Sk) ≤ 128
+# rows). Sweepable via attention_bench --fanout-sweep; 512 (256-row
+# target) measured no faster in round 2.
+_FANOUT_PACK = 256
+
 
 def _fanout_pallas(q, k, v, colmask, num_heads: int, interpret: bool):
     """q: (B, Sq, H*D); k, v: (B, Sk, H*D); colmask: (B, Sk) f32 {0,1}."""
@@ -373,9 +437,9 @@ def _fanout_pallas(q, k, v, colmask, num_heads: int, interpret: bool):
     # Batch block: pack rows toward ~128 (one full MXU row-tile); packing
     # further doubles the inflated score FLOPs for little extra MXU
     # utilization (measured: 256-row target was no faster). Power of two
-    # so B pads cheaply.
+    # so B pads cheaply. _FANOUT_PACK is 2× the row target (sweepable).
     bb = 1
-    while bb < 32 and 2 * bb * max(Sq, Sk) <= 256:
+    while bb < 32 and 2 * bb * max(Sq, Sk) <= _FANOUT_PACK:
         bb *= 2
     g = max(1, min(_FANOUT_G, B // bb))
     Bp = _round_up(B, bb * g)
@@ -492,20 +556,22 @@ _FANOUT_MIN_BATCH = 64
 # _fanout_kernel, which compiles efficiently at D=64 slices).
 
 
-def _bshd_flash_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, *, num_heads, scale):
+def _bshd_flash_kernel(
+    q_ref, k_ref, v_ref, bias_ref, o_ref, *, num_heads, has_bias
+):
     hd = q_ref.shape[2]
     d = hd // num_heads
-    q = q_ref[0]
+    q = q_ref[0]  # pre-scaled by scale·log2(e) in the wrapper
     k = k_ref[0]
     v = v_ref[0]
-    bias = bias_ref[0]  # (1, Skp) additive f32, -inf at padded/masked keys
+    bias = bias_ref[0] if has_bias else None  # (1, Skp) f32, -1e9 at masked
     outs = []
     for h in range(num_heads):
         sl = slice(h * d, (h + 1) * d)
         outs.append(
-            _attn_block(q[:, sl], k[:, sl], v[:, sl], bias, scale).astype(
-                o_ref.dtype
-            )
+            _attn_block_log2(
+                q[:, sl], k[:, sl], v[:, sl], bias, defer_div=False
+            ).astype(o_ref.dtype)
         )
     o_ref[0] = jnp.concatenate(outs, axis=-1)
 
@@ -520,16 +586,21 @@ def _bshd_flash_pallas(q, k, v, kv_mask, num_heads: int, interpret: bool):
     block_q = _pick_block_q(Sq)
     Sqp = _round_up(Sq, block_q)
     Skp = _round_up(Sk, 128)
+    # Log2-domain prescale, fused into the pad (see _attn_block_log2).
+    q = (q.astype(jnp.float32) * (scale * _LOG2E)).astype(q.dtype)
     qp = jnp.pad(q, ((0, 0), (0, Sqp - Sq), (0, 0)))
     kp = jnp.pad(k, ((0, 0), (0, Skp - Sk), (0, 0)))
     vp = jnp.pad(v, ((0, 0), (0, Skp - Sk), (0, 0)))
+    has_bias = kv_mask is not None or Skp != Sk
     if kv_mask is None:
         kv_mask = jnp.ones((B, Sk), dtype=bool)
     maskp = jnp.pad(kv_mask, ((0, 0), (0, Skp - Sk)))
     bias = jnp.where(maskp, 0.0, _NEG_INF).astype(jnp.float32)[:, None, :]
 
     out = pl.pallas_call(
-        functools.partial(_bshd_flash_kernel, num_heads=num_heads, scale=scale),
+        functools.partial(
+            _bshd_flash_kernel, num_heads=num_heads, has_bias=has_bias
+        ),
         out_shape=jax.ShapeDtypeStruct((B, Sqp, HD), q.dtype),
         grid=(B, Sqp // block_q),
         in_specs=[

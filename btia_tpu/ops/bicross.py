@@ -26,8 +26,9 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from btia_tpu.ops.attention import (
+    _LOG2E,
     _NEG_INF,
-    _attn_block,
+    _attn_block_log2,
     _resolved_impl,
     _round_up,
     mha_reference,
@@ -60,6 +61,12 @@ def _bicross_pallas(qi, ki, vi, qt, kt, vt, txt_mask, interpret: bool):
     pad4 = lambda x, S, Sp: jnp.pad(
         x, ((0, 0), (0, 0), (0, Sp - S), (0, Dp - D))
     )
+    # Log2-domain prescale of both query sides (see attention._attn_block_log2):
+    # exp2 softmax, no per-element score multiply.
+    prescale = lambda x: (x.astype(jnp.float32) * (scale * _LOG2E)).astype(
+        x.dtype
+    )
+    qi, qt = prescale(qi), prescale(qt)
     qip, kip, vip = pad4(qi, Ni, Nip), pad4(ki, Ni, Nip), pad4(vi, Ni, Nip)
     qtp, ktp, vtp = pad4(qt, Nt, Ntp), pad4(kt, Nt, Ntp), pad4(vt, Nt, Ntp)
 
@@ -73,15 +80,22 @@ def _bicross_pallas(qi, ki, vi, qt, kt, vt, txt_mask, interpret: bool):
         jnp.arange(Nip) < Ni, 0.0, _NEG_INF
     ).astype(jnp.float32)[None, None, :]
 
+    # txt←img direction: padded image keys only exist when Ni isn't a
+    # multiple of 128 — skip the bias add entirely otherwise.
+    img_has_bias = Nip != Ni
+
     def kernel(
         qi_ref, kt_ref, vt_ref, qt_ref, ki_ref, vi_ref, bias_ref, ibias_ref,
         oi_ref, ot_ref,
     ):
-        oi_ref[0, 0] = _attn_block(
-            qi_ref[0, 0], kt_ref[0, 0], vt_ref[0, 0], bias_ref[0], scale
+        oi_ref[0, 0] = _attn_block_log2(
+            qi_ref[0, 0], kt_ref[0, 0], vt_ref[0, 0], bias_ref[0]
         ).astype(oi_ref.dtype)
-        ot_ref[0, 0] = _attn_block(
-            qt_ref[0, 0], ki_ref[0, 0], vi_ref[0, 0], ibias_ref[0], scale
+        ot_ref[0, 0] = _attn_block_log2(
+            qt_ref[0, 0],
+            ki_ref[0, 0],
+            vi_ref[0, 0],
+            ibias_ref[0] if img_has_bias else None,
         ).astype(ot_ref.dtype)
 
     spec = lambda S: pl.BlockSpec(

@@ -147,6 +147,24 @@ class TestFanoutMHA:
         ref = self._ref_packed(q, k, v, mask, H)
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
 
+    @pytest.mark.parametrize("pack", [128, 512])
+    def test_pack_target_matches_reference(self, rng, pack):
+        """_FANOUT_PACK (the bb row-packing target) is a pure scheduling
+        knob — any value must reproduce the packed reference."""
+        from btia_tpu.ops import attention as A
+
+        B, Sq, Sk, H, D = 64, 32, 24, 4, 64
+        q, k, v = (_rand(rng, B, s, H * D) for s in (Sq, Sk, Sk))
+        mask = jnp.asarray(rng.rand(B, Sk) > 0.3).at[:, 0].set(True)
+        old = A._FANOUT_PACK
+        try:
+            A._FANOUT_PACK = pack
+            out = _fanout_mha(q, k, v, mask.astype(jnp.float32), H, True)
+        finally:
+            A._FANOUT_PACK = old
+        ref = self._ref_packed(q, k, v, mask, H)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
 
 class TestBshdFlash:
     """Head-pad-free long-seq kernel (projection-native (B,S,H*D) layout,
