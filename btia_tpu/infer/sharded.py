@@ -19,6 +19,7 @@ from jax.sharding import Mesh
 
 from btia_tpu.configs.config import Config
 from btia_tpu.models.model import BTIAADNet
+from btia_tpu.ops.fused_attn import disable_fused
 from btia_tpu.parallel.sharding import batch_sharding, param_shardings
 
 
@@ -65,15 +66,19 @@ def make_sharded_serve_fn(
     b_sh = batch_sharding(mesh)
 
     def serve(variables, images, qids):
-        images = jax.lax.with_sharding_constraint(images, b_sh)
-        qids = jax.lax.with_sharding_constraint(qids, b_sh)
-        img_tokens = model.apply(variables, images, method="encode_image")
-        logits = model.apply(
-            variables, img_tokens, qids, method="answer_questions"
-        )
-        if topk:
-            return _topk_real_answers(logits, topk, vocab_limit)
-        return logits
+        # Trace with the unfused attention road: the fused Pallas
+        # projection kernels are not yet validated under pjit+TP on real
+        # multi-chip hardware (see ops.fused_attn.disable_fused).
+        with disable_fused():
+            images = jax.lax.with_sharding_constraint(images, b_sh)
+            qids = jax.lax.with_sharding_constraint(qids, b_sh)
+            img_tokens = model.apply(variables, images, method="encode_image")
+            logits = model.apply(
+                variables, img_tokens, qids, method="answer_questions"
+            )
+            if topk:
+                return _topk_real_answers(logits, topk, vocab_limit)
+            return logits
 
     return jax.jit(serve)
 
@@ -97,19 +102,20 @@ def make_sharded_serve_indexed_fn(
     b_sh = batch_sharding(mesh)
 
     def serve(variables, images, unique_ids, qmap):
-        images = jax.lax.with_sharding_constraint(images, b_sh)
-        unique_ids = jax.lax.with_sharding_constraint(unique_ids, b_sh)
-        qmap = jax.lax.with_sharding_constraint(qmap, b_sh)
-        img_tokens = model.apply(variables, images, method="encode_image")
-        logits = model.apply(
-            variables,
-            img_tokens,
-            unique_ids,
-            qmap,
-            method="answer_questions_indexed",
-        )
-        if topk:
-            return _topk_real_answers(logits, topk, vocab_limit)
-        return logits
+        with disable_fused():  # see make_sharded_serve_fn
+            images = jax.lax.with_sharding_constraint(images, b_sh)
+            unique_ids = jax.lax.with_sharding_constraint(unique_ids, b_sh)
+            qmap = jax.lax.with_sharding_constraint(qmap, b_sh)
+            img_tokens = model.apply(variables, images, method="encode_image")
+            logits = model.apply(
+                variables,
+                img_tokens,
+                unique_ids,
+                qmap,
+                method="answer_questions_indexed",
+            )
+            if topk:
+                return _topk_real_answers(logits, topk, vocab_limit)
+            return logits
 
     return jax.jit(serve)

@@ -3,10 +3,12 @@
 Per [B:5] the reference fuses image and question features with a
 "bidirectional image↔question cross-attention fusion block": each layer runs
 question-guided image attention AND image-guided question attention, then
-per-stream FFNs. Here both directions execute inside ONE fused Pallas kernel
-(ops.bicross.bicross_attention) per layer — all six Q/K/V projections of a
-layer feed a single pallas_call, keeping both score tiles in VMEM [B:5
-"rewritten as fused Pallas attention kernels"].
+per-stream FFNs. On the TPU serving path each direction executes as ONE
+fused projection+attention+output-projection Pallas kernel
+(ops.fused_attn — q/k/v/o weights VMEM-resident, token streams read once;
+this superseded the earlier attention-only bidirectional kernel
+ops.bicross, which remains available as an explicit impl and oracle)
+[B:5 "rewritten as fused Pallas attention kernels"].
 
 Block structure (pre-LN, residual):
 
@@ -24,8 +26,7 @@ import flax.linen as nn
 import jax
 
 from btia_tpu.core.dtypes import DTypePolicy
-from btia_tpu.models.layers import LayerNorm, Mlp, heads_bshd
-from btia_tpu.ops.bicross import bicross_bshd
+from btia_tpu.models.layers import LayerNorm, Mlp
 
 
 class BTIALayer(nn.Module):
@@ -43,33 +44,48 @@ class BTIALayer(nn.Module):
         txt_mask: Optional[jax.Array],
         deterministic: bool = True,
     ) -> Tuple[jax.Array, jax.Array]:
-        dense = lambda scope, name: nn.Dense(
-            self.dim,
-            name=f"{scope}_{name}",
-            dtype=self.policy.compute_dtype,
-            param_dtype=self.policy.param_dtype,
+        from btia_tpu.models.layers import DenseParams
+        from btia_tpu.ops.fused_attn import fused_dense_attention
+
+        pd = self.policy.param_dtype
+        cd = self.policy.compute_dtype
+        params = lambda scope, name, din: DenseParams(
+            self.dim, pd, name=f"{scope}_{name}"
+        )(din)
+        img_n = LayerNorm(self.policy, name="ln_img")(img).astype(cd)
+        txt_n = LayerNorm(self.policy, name="ln_txt")(txt).astype(cd)
+        di, dt = img.shape[-1], txt.shape[-1]
+
+        # Each direction runs through ONE fused projection+attention+
+        # out-projection Pallas kernel on the serving path (the token
+        # streams are read once per direction and the weights stay
+        # VMEM-resident — ops/fused_attn.py); elsewhere it is plain XLA
+        # projections + ops.mha_bshd, numerically the historical path
+        # (bicross_bshd routed small tiles to the same per-direction
+        # mha_bshd calls).
+        wq_i, bq_i = params("i2t", "q_proj", di)  # img queries
+        wk_t, bk_t = params("i2t", "k_proj", dt)  # txt keys (img←txt)
+        wv_t, bv_t = params("i2t", "v_proj", dt)
+        wq_t, bq_t = params("t2i", "q_proj", dt)  # txt queries
+        wk_i, bk_i = params("t2i", "k_proj", di)  # img keys (txt←img)
+        wv_i, bv_i = params("t2i", "v_proj", di)
+        wo_i, bo_i = params("i2t", "o_proj", self.dim)
+        wo_t, bo_t = params("t2i", "o_proj", self.dim)
+
+        out_i = fused_dense_attention(
+            img_n, txt_n, txt_mask,
+            wq_i, bq_i, wk_t, bk_t, wv_t, bv_t, wo_i, bo_i,
+            self.num_heads,
         )
-        img_n = LayerNorm(self.policy, name="ln_img")(img)
-        txt_n = LayerNorm(self.policy, name="ln_txt")(txt)
-
-        # Six projections feeding the ONE fused bidirectional kernel
-        # (projection-native BSHD layout — no head-transpose copies on
-        # the short-sequence path).
-        sh = lambda x: heads_bshd(x, self.num_heads)
-        qi = sh(dense("i2t", "q_proj")(img_n))  # img queries
-        ki = sh(dense("t2i", "k_proj")(img_n))  # img keys (for txt←img)
-        vi = sh(dense("t2i", "v_proj")(img_n))
-        qt = sh(dense("t2i", "q_proj")(txt_n))  # txt queries
-        kt = sh(dense("i2t", "k_proj")(txt_n))  # txt keys (for img←txt)
-        vt = sh(dense("i2t", "v_proj")(txt_n))
-
-        out_i, out_t = bicross_bshd(qi, ki, vi, qt, kt, vt, txt_mask)
-        Bi, Ni = img.shape[:2]
-        Nt = txt.shape[1]
+        out_t = fused_dense_attention(
+            txt_n, img_n, None,
+            wq_t, bq_t, wk_i, bk_i, wv_i, bv_i, wo_t, bo_t,
+            self.num_heads,
+        )
 
         drop = lambda x: nn.Dropout(self.dropout)(x, deterministic=deterministic)
-        img = img + drop(dense("i2t", "o_proj")(out_i.reshape(Bi, Ni, -1)))
-        txt = txt + drop(dense("t2i", "o_proj")(out_t.reshape(Bi, Nt, -1)))
+        img = img + drop(out_i)
+        txt = txt + drop(out_t)
 
         img = img + drop(
             Mlp(

@@ -25,8 +25,7 @@ import jax
 import jax.numpy as jnp
 
 from btia_tpu.core.dtypes import DTypePolicy
-from btia_tpu.models.layers import LayerNorm, Mlp, heads_bshd, masked_mean
-from btia_tpu.ops.attention import mha_bshd
+from btia_tpu.models.layers import LayerNorm, Mlp, masked_mean
 
 
 class ADHead(nn.Module):
@@ -53,21 +52,28 @@ class ADHead(nn.Module):
             (K, self.dim),
             self.policy.param_dtype,
         )
+        from btia_tpu.models.layers import DenseParams
+        from btia_tpu.ops.fused_attn import fused_static_q_attention
+
+        cd = self.policy.compute_dtype
+        pd = self.policy.param_dtype
         q_tokens = jnp.broadcast_to(
-            queries[None].astype(self.policy.compute_dtype), (B, K, self.dim)
+            queries[None].astype(cd), (B, K, self.dim)
         )
-        dense = lambda name: nn.Dense(
-            self.dim,
-            name=name,
-            dtype=self.policy.compute_dtype,
-            param_dtype=self.policy.param_dtype,
+        kv = LayerNorm(self.policy, name="ln_kv")(tokens).astype(cd)
+        params = lambda name, din: DenseParams(self.dim, pd, name=name)(din)
+        wq, bq = params("q_proj", self.dim)
+        wk, bk = params("k_proj", kv.shape[-1])
+        wv, bv = params("v_proj", kv.shape[-1])
+        wo, bo = params("o_proj", self.dim)
+        # Queries are batch-invariant: the fused serving path projects the
+        # (K, D) table once and keeps it VMEM-resident, with k/v/o
+        # projections fused into the kernel (ops/fused_attn.py).
+        attended = fused_static_q_attention(
+            queries.astype(cd), kv, token_mask,
+            wq, bq, wk, bk, wv, bv, wo, bo, self.num_heads,
         )
-        kv = LayerNorm(self.policy, name="ln_kv")(tokens)
-        q = heads_bshd(dense("q_proj")(q_tokens), self.num_heads)
-        k = heads_bshd(dense("k_proj")(kv), self.num_heads)
-        v = heads_bshd(dense("v_proj")(kv), self.num_heads)
-        attended = mha_bshd(q, k, v, token_mask).reshape(B, K, self.dim)
-        feats = q_tokens + dense("o_proj")(attended)
+        feats = q_tokens + attended
         feats = feats + Mlp(
             self.dim,
             int(self.dim * self.mlp_ratio),

@@ -37,12 +37,41 @@ def heads_bshd(x: jax.Array, num_heads: int) -> jax.Array:
     return x.reshape(B, S, num_heads, D // num_heads)
 
 
+class DenseParams(nn.Module):
+    """Parameter-only stand-in for nn.Dense: same scope tree
+    ({kernel, bias}), same initializers — so checkpoints, the torch
+    converter name map, and the TP sharding regexes are unchanged — but
+    the kernel/bias arrays are returned raw, which lets the caller feed
+    them into the fused projection+attention Pallas kernel
+    (ops.fused_attn) instead of a standalone matmul."""
+
+    features: int
+    param_dtype: jnp.dtype
+
+    @nn.compact
+    def __call__(self, in_dim: int):
+        kernel = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (in_dim, self.features),
+            self.param_dtype,
+        )
+        bias = self.param(
+            "bias", nn.initializers.zeros_init(), (self.features,),
+            self.param_dtype,
+        )
+        return kernel, bias
+
+
 class MultiHeadAttention(nn.Module):
     """Self- or cross-attention over (B, S, D) token streams.
 
-    The softmax(QKᵀ)V core runs through ops.mha_bshd: XLA einsum for
-    short sequences (no head-transpose copies), the fused Pallas kernel
-    for long ones [B:5].
+    Runs through ops.fused_attn.fused_dense_attention: on the
+    short-sequence serving path ONE Pallas kernel computes q/k/v
+    projections, attention, and the output projection with the weights
+    VMEM-resident (the per-site HBM traffic and custom-call layout
+    bridges were the two dominant non-roofline buckets, BENCH_NOTES r3);
+    everywhere else it is plain XLA projections + ops.mha_bshd.
     """
 
     dim: int
@@ -57,24 +86,25 @@ class MultiHeadAttention(nn.Module):
         x_kv: Optional[jax.Array] = None,
         kv_mask: Optional[jax.Array] = None,
     ) -> jax.Array:
+        from btia_tpu.ops.fused_attn import fused_dense_attention
+
         x_kv = x_q if x_kv is None else x_kv
-        dense = lambda name: nn.Dense(
-            self.dim,
-            name=name,
-            dtype=self.policy.compute_dtype,
-            param_dtype=self.policy.param_dtype,
+        pd = self.policy.param_dtype
+        cd = self.policy.compute_dtype
+        din = x_q.shape[-1]
+        wq, bq = DenseParams(self.dim, pd, name="q_proj")(din)
+        wk, bk = DenseParams(self.dim, pd, name="k_proj")(x_kv.shape[-1])
+        wv, bv = DenseParams(self.dim, pd, name="v_proj")(x_kv.shape[-1])
+        wo, bo = DenseParams(self.out_dim or self.dim, pd, name="o_proj")(
+            self.dim
         )
-        B, Sq, _ = x_q.shape
-        q = heads_bshd(dense("q_proj")(x_q), self.num_heads)
-        k = heads_bshd(dense("k_proj")(x_kv), self.num_heads)
-        v = heads_bshd(dense("v_proj")(x_kv), self.num_heads)
-        out = mha_bshd(q, k, v, kv_mask).reshape(B, Sq, -1)
-        return nn.Dense(
-            self.out_dim or self.dim,
-            name="o_proj",
-            dtype=self.policy.compute_dtype,
-            param_dtype=self.policy.param_dtype,
-        )(out)
+        return fused_dense_attention(
+            x_q.astype(cd),
+            x_kv.astype(cd),
+            kv_mask,
+            wq, bq, wk, bk, wv, bv, wo, bo,
+            self.num_heads,
+        )
 
 
 class QuantizableDense(nn.Module):

@@ -1,0 +1,526 @@
+"""Fused dense-projection + attention + output-projection Pallas kernel.
+
+Serving-path profile (BENCH_NOTES r3): at the fan-out shapes
+(B = B_img·Q ≈ 2048, Sq/Sk ≤ 82) the attention custom-calls are
+DMA-bound — q/k/v/out streams move ~400 MB/call at ~276 GB/s effective
+(~3× below HBM peak) — and XLA inserts layout-bridge copies at every
+custom-call boundary ({2,0,1} vs {2,1,0} minor-to-major, measured ~27
+ms/step, unfixable from JAX; see the 2D-flattening negative result).
+
+This kernel removes both costs structurally: ONE pallas_call reads the
+token stream x (B, S, Din) once, computes q/k/v projections on-chip
+(weights stay resident in VMEM across the whole grid), runs the
+batch-blocked block-diagonal attention of ops.attention._fanout_kernel,
+applies the output projection, and writes the projected result once.
+Per-site HBM traffic drops from ~5 tensors of (B, S, D) to 2, and all
+custom-call layout boundaries for q/k/v/attn-out disappear.
+
+Used by models.layers.MultiHeadAttention on the short-sequence
+serving path; the unfused road (separate Dense matmuls + ops.mha_bshd)
+remains the always-correct fallback and the backward pass (the vjp
+recomputes through the unfused XLA graph — same rematerialisation
+policy as ops.attention).
+
+[B:5 "rewritten as fused Pallas attention kernels"; B:11 fan-out serving.]
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+import contextlib
+
+from btia_tpu.ops.attention import (
+    _FANOUT_MIN_BATCH,
+    _FANOUT_PACK,
+    _LOG2E,
+    _SMALL_SCORE_TILE,
+    _resolved_impl,
+    _round_up,
+    mha_bshd,
+)
+
+# The fused kernels are measured and equivalence-tested on the
+# single-device serving path. Under pjit with TP-sharded weights, XLA's
+# partitioning of the custom call is unvalidated on real multi-chip
+# hardware (it may replicate/gather operands) — the mesh serving
+# programs trace inside disable_fused() and keep the proven unfused
+# road (XLA projections + the fan-out kernel) until then.
+_ENABLED = True
+
+
+@contextlib.contextmanager
+def disable_fused():
+    """Route fused_dense_attention/fused_static_q_attention through the
+    unfused path for everything traced inside this context."""
+    global _ENABLED
+    old = _ENABLED
+    _ENABLED = False
+    try:
+        yield
+    finally:
+        _ENABLED = old
+
+
+def _fused_kernel(
+    xq_ref,
+    xkv_ref,
+    cmask_ref,
+    wq_ref,
+    wk_ref,
+    wv_ref,
+    wo_ref,
+    bq_ref,
+    bk_ref,
+    bv_ref,
+    bo_ref,
+    o_ref,
+    *,
+    num_heads,
+    bb,
+    sq,
+    sk,
+):
+    hd = wq_ref.shape[1]
+    d = hd // num_heads
+    cd = xq_ref.dtype
+
+    xq = xq_ref[...].reshape(bb * sq, xq_ref.shape[2])
+    xkv = xkv_ref[...].reshape(bb * sk, xkv_ref.shape[2])
+
+    # On-chip projections (weights VMEM-resident across the grid). The
+    # softmax scale·log2(e) is folded into wq/bq by the wrapper, so the
+    # attention below runs the log2-domain softmax of _fanout_kernel.
+    def proj(x, w_ref, b_ref):
+        y = jax.lax.dot_general(
+            x,
+            w_ref[...],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        return (y + b_ref[...]).astype(cd)
+
+    q = proj(xq, wq_ref, bq_ref)
+    k = proj(xkv, wk_ref, bk_ref)
+    v = proj(xkv, wv_ref, bv_ref)
+
+    # Batch-blocked block-diagonal attention (see ops.attention
+    # _fanout_kernel for the masking/numerics rationale).
+    rows_b = jax.lax.broadcasted_iota(jnp.int32, (bb * sq, bb * sk), 0) // sq
+    cols_b = jax.lax.broadcasted_iota(jnp.int32, (bb * sq, bb * sk), 1) // sk
+    mask = jnp.where(rows_b == cols_b, cmask_ref[0, 0], 0.0)
+    neg_bias = (1.0 - mask) * 1e9
+    outs = []
+    for h in range(num_heads):
+        sl = slice(h * d, (h + 1) * d)
+        s = jax.lax.dot_general(
+            q[:, sl],
+            k[:, sl],
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        s = s - neg_bias
+        m = jnp.max(s, axis=-1, keepdims=True)
+        e = jnp.exp2(s - m) * mask
+        denom = jnp.maximum(jnp.sum(e, axis=-1, keepdims=True), 1e-30)
+        acc = jax.lax.dot_general(
+            e.astype(cd),
+            v[:, sl],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        outs.append((acc / denom).astype(cd))
+    attn = jnp.concatenate(outs, axis=-1)
+
+    out = jax.lax.dot_general(
+        attn,
+        wo_ref[...],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    out = (out + bo_ref[...]).astype(o_ref.dtype)
+    o_ref[...] = out.reshape(bb, sq, wo_ref.shape[1])
+
+
+def _fused_pallas(
+    x_q, x_kv, colmask, wq, bq, wk, bk, wv, bv, wo, bo, num_heads, interpret
+):
+    B, Sq, Din = x_q.shape
+    Sk = x_kv.shape[1]
+    HD = wq.shape[1]
+    Dout = wo.shape[1]
+    D = HD // num_heads
+    scale = 1.0 / (D**0.5)
+    cd = x_q.dtype
+
+    # Fold scale·log2(e) into the q projection — zero per-token cost.
+    c = jnp.float32(scale * _LOG2E)
+    wq = (wq.astype(jnp.float32) * c).astype(cd)
+    bq = bq.astype(jnp.float32) * c
+    wk, wv, wo = (w.astype(cd) for w in (wk, wv, wo))
+    bk, bv, bo = (b.astype(jnp.float32) for b in (bk, bv, bo))
+    b2 = lambda b: b.reshape(1, -1)
+
+    bb = 1
+    while bb < 32 and 2 * bb * max(Sq, Sk) <= _FANOUT_PACK:
+        bb *= 2
+    Bp = _round_up(B, bb)
+    if Bp != B:
+        x_q = jnp.pad(x_q, ((0, Bp - B), (0, 0), (0, 0)))
+        x_kv = jnp.pad(x_kv, ((0, Bp - B), (0, 0), (0, 0)))
+        colmask = jnp.pad(colmask, ((0, Bp - B), (0, 0)))
+    cm = colmask.reshape(Bp // bb, 1, bb * Sk)
+
+    wspec = lambda w: pl.BlockSpec(
+        w.shape, lambda i: (0,) * w.ndim, memory_space=pltpu.VMEM
+    )
+    out = pl.pallas_call(
+        functools.partial(
+            _fused_kernel, num_heads=num_heads, bb=bb, sq=Sq, sk=Sk
+        ),
+        out_shape=jax.ShapeDtypeStruct((Bp, Sq, Dout), cd),
+        grid=(Bp // bb,),
+        in_specs=[
+            pl.BlockSpec(
+                (bb, Sq, Din), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (bb, Sk, Din), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (1, 1, bb * Sk), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+            ),
+        ]
+        + [wspec(w) for w in (wq, wk, wv, wo)]
+        + [wspec(b2(b)) for b in (bq, bk, bv, bo)],
+        out_specs=pl.BlockSpec(
+            (bb, Sq, Dout), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * Bp * (Sq + 2 * Sk) * Din * HD  # qkv projections
+            + 2 * Bp * Sq * HD * Dout  # out projection
+            + 4 * Bp * bb * num_heads * Sq * Sk * D,  # attention
+            bytes_accessed=(x_q.size + x_kv.size + Bp * Sq * Dout)
+            * x_q.dtype.itemsize,
+            transcendentals=Bp * bb * num_heads * Sq * Sk,
+        ),
+        interpret=interpret,
+    )(x_q, x_kv, cm, wq, wk, wv, wo, b2(bq), b2(bk), b2(bv), b2(bo))
+    return out[:B]
+
+
+def _unfused(x_q, x_kv, kv_mask, wq, bq, wk, bk, wv, bv, wo, bo, num_heads):
+    """Reference path: plain XLA projections + ops.mha_bshd — numerically
+    the module's historical behavior; also the vjp rematerialisation."""
+    cd = x_q.dtype
+    B, Sq, _ = x_q.shape
+    Sk = x_kv.shape[1]
+    HD = wq.shape[1]
+    # Mirror nn.Dense exactly (3D dot_general on the last dim, bias add in
+    # compute dtype) — this path must reproduce the module's historical
+    # XLA lowering bit-for-bit (parity goldens; ViT-L layout stability).
+    dense = lambda x, w, b: (
+        jax.lax.dot_general(
+            x, w.astype(cd), (((x.ndim - 1,), (0,)), ((), ()))
+        )
+        + b.astype(cd)
+    )
+    q = dense(x_q, wq, bq).reshape(B, Sq, num_heads, HD // num_heads)
+    k = dense(x_kv, wk, bk).reshape(B, Sk, num_heads, HD // num_heads)
+    v = dense(x_kv, wv, bv).reshape(B, Sk, num_heads, HD // num_heads)
+    out = mha_bshd(q, k, v, kv_mask).reshape(B, Sq, HD)
+    return dense(out, wo, bo)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(11, 12))
+def _fused(x_q, x_kv, kv_mask, wq, bq, wk, bk, wv, bv, wo, bo, num_heads, interpret):
+    colmask = (
+        kv_mask.astype(jnp.float32)
+        if kv_mask is not None
+        else jnp.ones(x_kv.shape[:2], jnp.float32)
+    )
+    return _fused_pallas(
+        x_q, x_kv, colmask, wq, bq, wk, bk, wv, bv, wo, bo, num_heads, interpret
+    )
+
+
+def _fused_fwd(x_q, x_kv, kv_mask, wq, bq, wk, bk, wv, bv, wo, bo, nh, interp):
+    out = _fused(x_q, x_kv, kv_mask, wq, bq, wk, bk, wv, bv, wo, bo, nh, interp)
+    return out, (x_q, x_kv, kv_mask, wq, bq, wk, bk, wv, bv, wo, bo)
+
+
+def _fused_bwd(nh, interp, res, g):
+    x_q, x_kv, kv_mask, *params = res
+    f = lambda xq, xkv, *p: _unfused(xq, xkv, kv_mask, *p, num_heads=nh)
+    _, vjp = jax.vjp(f, x_q, x_kv, *params)
+    grads = vjp(g)
+    return (grads[0], grads[1], None) + tuple(grads[2:])
+
+
+_fused.defvjp(_fused_fwd, _fused_bwd)
+
+
+def _staticq_kernel(
+    xkv_ref,
+    cmask_ref,
+    q2_ref,
+    wk_ref,
+    wv_ref,
+    wo_ref,
+    bk_ref,
+    bv_ref,
+    bo_ref,
+    o_ref,
+    *,
+    num_heads,
+):
+    cd = xkv_ref.dtype
+    hd = q2_ref.shape[1]
+    d = hd // num_heads
+    xkv = xkv_ref[0]
+
+    def proj(x, w_ref, b_ref):
+        y = jax.lax.dot_general(
+            x,
+            w_ref[...],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        return (y + b_ref[...]).astype(cd)
+
+    k = proj(xkv, wk_ref, bk_ref)
+    v = proj(xkv, wv_ref, bv_ref)
+    q = q2_ref[...]  # (K, HD), pre-projected + log2-prescaled, resident
+    cmask = cmask_ref[0]  # (1, Sk)
+    neg_bias = (1.0 - cmask) * 1e9
+    outs = []
+    for h in range(num_heads):
+        sl = slice(h * d, (h + 1) * d)
+        s = jax.lax.dot_general(
+            q[:, sl],
+            k[:, sl],
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        s = s - neg_bias
+        m = jnp.max(s, axis=-1, keepdims=True)
+        e = jnp.exp2(s - m) * cmask
+        denom = jnp.maximum(jnp.sum(e, axis=-1, keepdims=True), 1e-30)
+        acc = jax.lax.dot_general(
+            e.astype(cd),
+            v[:, sl],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        outs.append((acc / denom).astype(cd))
+    attn = jnp.concatenate(outs, axis=-1)
+    out = jax.lax.dot_general(
+        attn,
+        wo_ref[...],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    o_ref[0] = (out + bo_ref[...]).astype(o_ref.dtype)
+
+
+def _staticq_pallas(
+    queries, x_kv, colmask, wq, bq, wk, bk, wv, bv, wo, bo, num_heads, interpret
+):
+    B, Sk, Din = x_kv.shape
+    K = queries.shape[0]
+    HD = wq.shape[1]
+    Dout = wo.shape[1]
+    D = HD // num_heads
+    cd = x_kv.dtype
+
+    # Project the batch-invariant queries ONCE (outside the grid), fold in
+    # the softmax scale·log2(e), and keep the result VMEM-resident — the
+    # unfused path pays a (B, K, Din) broadcast projection every step.
+    c = jnp.float32((1.0 / D**0.5) * _LOG2E)
+    q2 = (
+        (
+            jnp.dot(
+                queries.astype(jnp.float32),
+                wq.astype(jnp.float32),
+                preferred_element_type=jnp.float32,
+            )
+            + bq.astype(jnp.float32)
+        )
+        * c
+    ).astype(cd)
+    wk, wv, wo = (w.astype(cd) for w in (wk, wv, wo))
+    bk, bv, bo = (b.astype(jnp.float32).reshape(1, -1) for b in (bk, bv, bo))
+
+    wspec = lambda w: pl.BlockSpec(
+        w.shape, lambda i: (0,) * w.ndim, memory_space=pltpu.VMEM
+    )
+    out = pl.pallas_call(
+        functools.partial(_staticq_kernel, num_heads=num_heads),
+        out_shape=jax.ShapeDtypeStruct((B, K, Dout), cd),
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec(
+                (1, Sk, Din), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (1, 1, Sk), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+            ),
+        ]
+        + [wspec(w) for w in (q2, wk, wv, wo, bk, bv, bo)],
+        out_specs=pl.BlockSpec(
+            (1, K, Dout), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * B * Sk * Din * 2 * HD
+            + 2 * B * K * HD * Dout
+            + 4 * B * num_heads * K * Sk * D,
+            bytes_accessed=(x_kv.size + B * K * Dout) * x_kv.dtype.itemsize,
+            transcendentals=B * num_heads * K * Sk,
+        ),
+        interpret=interpret,
+    )(x_kv, colmask.reshape(B, 1, Sk), q2, wk, wv, wo, bk, bv, bo)
+    return out
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(11, 12))
+def _staticq(
+    queries, x_kv, kv_mask, wq, bq, wk, bk, wv, bv, wo, bo, num_heads, interpret
+):
+    colmask = (
+        kv_mask.astype(jnp.float32)
+        if kv_mask is not None
+        else jnp.ones(x_kv.shape[:2], jnp.float32)
+    )
+    return _staticq_pallas(
+        queries, x_kv, colmask, wq, bq, wk, bk, wv, bv, wo, bo,
+        num_heads, interpret,
+    )
+
+
+def _staticq_unfused(
+    queries, x_kv, kv_mask, wq, bq, wk, bk, wv, bv, wo, bo, num_heads
+):
+    B = x_kv.shape[0]
+    K = queries.shape[0]
+    q_tokens = jnp.broadcast_to(
+        queries[None].astype(x_kv.dtype), (B, K, queries.shape[1])
+    )
+    return _unfused(
+        q_tokens, x_kv, kv_mask, wq, bq, wk, bk, wv, bv, wo, bo, num_heads
+    )
+
+
+def _staticq_fwd(queries, x_kv, kv_mask, wq, bq, wk, bk, wv, bv, wo, bo, nh, it):
+    out = _staticq(queries, x_kv, kv_mask, wq, bq, wk, bk, wv, bv, wo, bo, nh, it)
+    return out, (queries, x_kv, kv_mask, wq, bq, wk, bk, wv, bv, wo, bo)
+
+
+def _staticq_bwd(nh, it, res, g):
+    queries, x_kv, kv_mask, *params = res
+    f = lambda qs, xkv, *p: _staticq_unfused(qs, xkv, kv_mask, *p, num_heads=nh)
+    _, vjp = jax.vjp(f, queries, x_kv, *params)
+    grads = vjp(g)
+    return (grads[0], grads[1], None) + tuple(grads[2:])
+
+
+_staticq.defvjp(_staticq_fwd, _staticq_bwd)
+
+
+def fused_static_q_attention(
+    queries: jax.Array,
+    x_kv: jax.Array,
+    kv_mask: Optional[jax.Array],
+    wq: jax.Array,
+    bq: jax.Array,
+    wk: jax.Array,
+    bk: jax.Array,
+    wv: jax.Array,
+    bv: jax.Array,
+    wo: jax.Array,
+    bo: jax.Array,
+    num_heads: int,
+    interpret: bool = False,
+) -> jax.Array:
+    """Attention whose queries are a batch-invariant (K, Din) table — the
+    AD answer head's answer-query attention [B:5, B:10]. On the fused
+    path the query projection happens once (not per batch row) and k/v/o
+    projections fuse into the kernel; otherwise the queries broadcast
+    through the plain unfused road (the historical lowering)."""
+    B, Sk, _ = x_kv.shape
+    K = queries.shape[0]
+    HD = wq.shape[1]
+    D = HD // num_heads
+    use_fused = (
+        _ENABLED
+        and _resolved_impl() == "pallas"
+        and B >= _FANOUT_MIN_BATCH
+        and K * Sk <= _SMALL_SCORE_TILE
+        and D % 64 == 0
+        and wq.shape[0] % 128 == 0
+        and HD % 128 == 0
+        and wo.shape[1] % 128 == 0
+    ) or interpret
+    if not use_fused:
+        return _staticq_unfused(
+            queries, x_kv, kv_mask, wq, bq, wk, bk, wv, bv, wo, bo, num_heads
+        )
+    return _staticq(
+        queries, x_kv, kv_mask, wq, bq, wk, bk, wv, bv, wo, bo,
+        num_heads, interpret,
+    )
+
+
+def fused_dense_attention(
+    x_q: jax.Array,
+    x_kv: jax.Array,
+    kv_mask: Optional[jax.Array],
+    wq: jax.Array,
+    bq: jax.Array,
+    wk: jax.Array,
+    bk: jax.Array,
+    wv: jax.Array,
+    bv: jax.Array,
+    wo: jax.Array,
+    bo: jax.Array,
+    num_heads: int,
+    interpret: bool = False,
+) -> jax.Array:
+    """q/k/v projection → MHA → output projection, fused where it wins.
+
+    x_q: (B, Sq, Din); x_kv: (B, Sk, Din); kv_mask: (B, Sk) True=valid.
+    Routing mirrors ops.mha_bshd: the fused Pallas kernel on TPU for
+    short sequences at serving batch sizes; plain XLA otherwise.
+    """
+    B, Sq, _ = x_q.shape
+    Sk = x_kv.shape[1]
+    HD = wq.shape[1]
+    D = HD // num_heads
+    use_fused = (
+        _ENABLED
+        and _resolved_impl() == "pallas"
+        and B >= _FANOUT_MIN_BATCH
+        and Sq * Sk <= _SMALL_SCORE_TILE
+        and D % 64 == 0
+        and wq.shape[0] % 128 == 0
+        and HD % 128 == 0
+        and wo.shape[1] % 128 == 0
+    ) or interpret
+    if not use_fused:
+        return _unfused(
+            x_q, x_kv, kv_mask, wq, bq, wk, bk, wv, bv, wo, bo, num_heads
+        )
+    return _fused(
+        x_q, x_kv, kv_mask, wq, bq, wk, bk, wv, bv, wo, bo, num_heads, interpret
+    )

@@ -144,6 +144,18 @@ def _train_step_body(
     ls = cfg.train.label_smoothing
 
     def step(state: TrainState, batch: dict) -> Tuple[TrainState, dict]:
+        import contextlib
+
+        from btia_tpu.ops.fused_attn import disable_fused
+
+        # Multi-device programs trace the unfused attention road (the
+        # fused projection kernels are unvalidated under pjit sharding on
+        # real hardware — ops.fused_attn.disable_fused).
+        ctx = disable_fused() if mesh.size > 1 else contextlib.nullcontext()
+        with ctx:
+            return _step_inner(state, batch)
+
+    def _step_inner(state: TrainState, batch: dict) -> Tuple[TrainState, dict]:
         images = jax.lax.with_sharding_constraint(batch["images"], b_sh)
         qids = jax.lax.with_sharding_constraint(batch["question_ids"], b_sh)
         labels = jax.lax.with_sharding_constraint(batch["answer_ids"], b_sh)

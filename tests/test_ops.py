@@ -331,3 +331,93 @@ class TestIngest:
         out = jax.jit(lambda x: preprocess_images(x, (32, 32)))(imgs)
         assert out.shape == (2, 32, 32, 3)
         assert bool(jnp.isfinite(out).all())
+
+
+class TestFusedDenseAttention:
+    """ops/fused_attn.py: ONE Pallas kernel for qkv-proj → attention →
+    out-proj (the serving fan-out path) vs the unfused XLA reference."""
+
+    def _params(self, rng, din, hd, dout):
+        mk = lambda *s: jnp.asarray(rng.randn(*s) * 0.05, jnp.float32)
+        return dict(
+            wq=mk(din, hd), bq=mk(hd), wk=mk(din, hd), bk=mk(hd),
+            wv=mk(din, hd), bv=mk(hd), wo=mk(hd, dout), bo=mk(dout),
+        )
+
+    @pytest.mark.parametrize("B,Sq,Sk", [(64, 32, 32), (100, 50, 32)])
+    def test_matches_unfused(self, rng, B, Sq, Sk):
+        from btia_tpu.ops.fused_attn import _fused, _unfused
+
+        H, D, Din = 4, 64, 256
+        p = self._params(rng, Din, H * D, Din)
+        x_q = jnp.asarray(rng.randn(B, Sq, Din), jnp.float32)
+        x_kv = jnp.asarray(rng.randn(B, Sk, Din), jnp.float32)
+        mask = jnp.asarray(rng.rand(B, Sk) > 0.3).at[:, 0].set(True)
+        args = [p[k] for k in ("wq", "bq", "wk", "bk", "wv", "bv", "wo", "bo")]
+        out = _fused(x_q, x_kv, mask, *args, 4, True)
+        ref = _unfused(x_q, x_kv, mask, *args, num_heads=4)
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(ref), atol=2e-4
+        )
+
+    def test_no_mask_matches(self, rng):
+        from btia_tpu.ops.fused_attn import _fused, _unfused
+
+        B, Sq, Sk, H, D, Din = 64, 32, 32, 4, 64, 256
+        p = self._params(rng, Din, H * D, Din)
+        x = jnp.asarray(rng.randn(B, Sq, Din), jnp.float32)
+        args = [p[k] for k in ("wq", "bq", "wk", "bk", "wv", "bv", "wo", "bo")]
+        out = _fused(x, x, None, *args, 4, True)
+        ref = _unfused(x, x, None, *args, num_heads=4)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-4)
+
+    def test_gradients_match_unfused(self, rng):
+        """The vjp rematerialises through the unfused XLA graph — grads
+        must agree with differentiating the unfused path directly."""
+        from btia_tpu.ops.fused_attn import _fused, _unfused
+
+        B, Sq, Sk, H, D, Din = 64, 16, 16, 2, 64, 128
+        p = self._params(rng, Din, H * D, Din)
+        x_q = jnp.asarray(rng.randn(B, Sq, Din), jnp.float32)
+        x_kv = jnp.asarray(rng.randn(B, Sk, Din), jnp.float32)
+        mask = jnp.asarray(rng.rand(B, Sk) > 0.3).at[:, 0].set(True)
+        args = [p[k] for k in ("wq", "bq", "wk", "bk", "wv", "bv", "wo", "bo")]
+
+        def loss_f(xq, *ps):
+            return jnp.sum(_fused(xq, x_kv, mask, *ps, 2, True) ** 2)
+
+        def loss_r(xq, *ps):
+            return jnp.sum(_unfused(xq, x_kv, mask, *ps, num_heads=2) ** 2)
+
+        gf = jax.grad(loss_f, argnums=(0, 1, 7))(x_q, *args)
+        gr = jax.grad(loss_r, argnums=(0, 1, 7))(x_q, *args)
+        for a, b in zip(gf, gr):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), atol=5e-3, rtol=1e-4
+            )
+
+    def test_module_routes_and_matches(self, rng):
+        """MultiHeadAttention (which owns the params) produces identical
+        results whether fused_dense_attention routes fused or unfused."""
+        import flax.linen as nn_  # noqa: F401
+        from btia_tpu.core.dtypes import FP32_POLICY
+        from btia_tpu.models.layers import MultiHeadAttention
+        from btia_tpu.ops import fused_attn as FA
+
+        B, S, Din = 64, 32, 128
+        mod = MultiHeadAttention(128, 2, FP32_POLICY)
+        x = jnp.asarray(rng.randn(B, S, Din), jnp.float32)
+        mask = jnp.asarray(rng.rand(B, S) > 0.3).at[:, 0].set(True)
+        variables = mod.init(jax.random.PRNGKey(0), x, kv_mask=mask)
+        ref = mod.apply(variables, x, kv_mask=mask)  # CPU → unfused
+        # Force the fused kernel (interpret) through the same module params
+        p = variables["params"]
+        out = FA._fused(
+            x, x, mask,
+            p["q_proj"]["kernel"], p["q_proj"]["bias"],
+            p["k_proj"]["kernel"], p["k_proj"]["bias"],
+            p["v_proj"]["kernel"], p["v_proj"]["bias"],
+            p["o_proj"]["kernel"], p["o_proj"]["bias"],
+            2, True,
+        )
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-4)
