@@ -35,6 +35,11 @@ class TestBenchScript:
             text=True,
             timeout=480,
             cwd=REPO,
+            # env was built above but historically NOT passed — the child
+            # inherited PALLAS_AXON_POOL_IPS and silently ran this "CPU
+            # smoke test" on the TPU tunnel (single-tenant!), hanging in
+            # backend-init retries whenever the tunnel was unhealthy.
+            env=env,
         )
         assert out.returncode == 0, out.stderr[-2000:]
         line = out.stdout.strip().splitlines()[-1]
