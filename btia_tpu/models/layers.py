@@ -15,7 +15,6 @@ import jax
 import jax.numpy as jnp
 
 from btia_tpu.core.dtypes import DTypePolicy
-from btia_tpu.ops.attention import mha, mha_bshd
 from btia_tpu.ops.norms import layernorm
 
 
