@@ -421,3 +421,67 @@ class TestFusedDenseAttention:
             2, True,
         )
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-4)
+
+    def test_bf16_matches_unfused(self, rng):
+        """Serving dtype: fused bf16 path vs unfused bf16 reference."""
+        from btia_tpu.ops.fused_attn import _fused, _unfused
+
+        B, Sq, Sk, H, D, Din = 64, 32, 32, 4, 64, 256
+        p = self._params(rng, Din, H * D, Din)
+        x = jnp.asarray(rng.randn(B, Sq, Din), jnp.bfloat16)
+        mask = jnp.asarray(rng.rand(B, Sk) > 0.3).at[:, 0].set(True)
+        args = [p[k] for k in ("wq", "bq", "wk", "bk", "wv", "bv", "wo", "bo")]
+        out = _fused(x, x, mask, *args, 4, True)
+        ref = _unfused(x, x, mask, *args, num_heads=4)
+        np.testing.assert_allclose(
+            np.asarray(out, np.float32), np.asarray(ref, np.float32),
+            atol=0.08, rtol=0.05,
+        )
+
+    def test_staticq_matches_unfused(self, rng):
+        from btia_tpu.ops.fused_attn import _staticq, _staticq_unfused
+
+        B, K, Sk, H, D, Din = 64, 16, 24, 2, 64, 128
+        mk = lambda *s: jnp.asarray(rng.randn(*s) * 0.05, jnp.float32)
+        args = [mk(Din, H * D), mk(H * D), mk(Din, H * D), mk(H * D),
+                mk(Din, H * D), mk(H * D), mk(H * D, Din), mk(Din)]
+        qs = mk(K, Din)
+        xkv = jnp.asarray(rng.randn(B, Sk, Din), jnp.float32)
+        mask = jnp.asarray(rng.rand(B, Sk) > 0.3).at[:, 0].set(True)
+        out = _staticq(qs, xkv, mask, *args, 2, True)
+        ref = _staticq_unfused(qs, xkv, mask, *args, num_heads=2)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-4)
+
+    def test_staticq_gradients_match_unfused(self, rng):
+        from btia_tpu.ops.fused_attn import _staticq, _staticq_unfused
+
+        B, K, Sk, H, D, Din = 64, 8, 16, 2, 64, 128
+        mk = lambda *s: jnp.asarray(rng.randn(*s) * 0.05, jnp.float32)
+        args = [mk(Din, H * D), mk(H * D), mk(Din, H * D), mk(H * D),
+                mk(Din, H * D), mk(H * D), mk(H * D, Din), mk(Din)]
+        qs = mk(K, Din)
+        xkv = jnp.asarray(rng.randn(B, Sk, Din), jnp.float32)
+        mask = jnp.asarray(rng.rand(B, Sk) > 0.3).at[:, 0].set(True)
+
+        def loss_f(q, xk, *ps):
+            return jnp.sum(_staticq(q, xk, mask, *ps, 2, True) ** 2)
+
+        def loss_r(q, xk, *ps):
+            return jnp.sum(_staticq_unfused(q, xk, mask, *ps, num_heads=2) ** 2)
+
+        gf = jax.grad(loss_f, argnums=(0, 1, 2))(qs, xkv, *args)
+        gr = jax.grad(loss_r, argnums=(0, 1, 2))(qs, xkv, *args)
+        for a, b in zip(gf, gr):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), atol=5e-3, rtol=1e-4
+            )
+
+    def test_disable_fused_context(self, rng):
+        """disable_fused() must route even interpret-capable shapes through
+        the unfused road (the mesh programs rely on this)."""
+        from btia_tpu.ops import fused_attn as FA
+
+        assert FA._ENABLED
+        with FA.disable_fused():
+            assert not FA._ENABLED
+        assert FA._ENABLED
