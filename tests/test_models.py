@@ -199,3 +199,82 @@ class TestFullModel:
         variables = model.init(jax.random.PRNGKey(0), imgs, qids)
         logits = model.apply(variables, imgs, qids)
         assert logits.shape == (1, 16)
+
+
+class TestFusedWiring:
+    """Whole-module equivalence: fused vs unfused routing through the
+    REAL modules (BTIALayer's six projections, the AD head's static-q
+    table, BertLayer's self-attention). A swapped weight/operand in the
+    fused wiring would pass op-level tests but fail here."""
+
+    def _patched(self, monkeypatch):
+        from btia_tpu.ops import fused_attn as FA
+
+        orig_dense = FA.fused_dense_attention
+        orig_static = FA.fused_static_q_attention
+        monkeypatch.setattr(
+            FA,
+            "fused_dense_attention",
+            lambda *a, **k: orig_dense(*a, interpret=True, **k),
+        )
+        monkeypatch.setattr(
+            FA,
+            "fused_static_q_attention",
+            lambda *a, **k: orig_static(*a, interpret=True, **k),
+        )
+
+    def test_btia_layer(self, rng, monkeypatch):
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+
+        from btia_tpu.core.dtypes import FP32_POLICY
+        from btia_tpu.models.btia import BTIALayer
+
+        mod = BTIALayer(dim=128, num_heads=2, mlp_ratio=2.0, policy=FP32_POLICY)
+        img = jnp.asarray(rng.randn(3, 18, 128), jnp.float32)
+        txt = jnp.asarray(rng.randn(3, 10, 128), jnp.float32)
+        mask = jnp.asarray(rng.rand(3, 10) > 0.3).at[:, 0].set(True)
+        variables = mod.init(jax.random.PRNGKey(0), img, txt, mask)
+        ref = mod.apply(variables, img, txt, mask)  # CPU → unfused
+        self._patched(monkeypatch)
+        out = mod.apply(variables, img, txt, mask)  # forced fused kernels
+        for o, r in zip(out, ref):
+            np.testing.assert_allclose(
+                np.asarray(o), np.asarray(r), atol=3e-4
+            )
+
+    def test_ad_head(self, rng, monkeypatch):
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+
+        from btia_tpu.core.dtypes import FP32_POLICY
+        from btia_tpu.models.heads import ADHead
+
+        mod = ADHead(dim=128, num_heads=2, vocab_size=16, policy=FP32_POLICY)
+        tokens = jnp.asarray(rng.randn(3, 12, 128), jnp.float32)
+        mask = jnp.asarray(rng.rand(3, 12) > 0.3).at[:, 0].set(True)
+        variables = mod.init(jax.random.PRNGKey(0), tokens, mask)
+        ref = mod.apply(variables, tokens, mask)
+        self._patched(monkeypatch)
+        out = mod.apply(variables, tokens, mask)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=3e-4)
+
+    def test_bert_layer(self, rng, monkeypatch):
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+
+        from btia_tpu.core.dtypes import FP32_POLICY
+        from btia_tpu.models.bert import BertLayer, BertSpec
+
+        spec = BertSpec(dim=128, depth=1, num_heads=2, mlp_dim=256)
+        mod = BertLayer(spec, FP32_POLICY)
+        x = jnp.asarray(rng.randn(3, 10, 128), jnp.float32)
+        mask = jnp.asarray(rng.rand(3, 10) > 0.3).at[:, 0].set(True)
+        variables = mod.init(jax.random.PRNGKey(0), x, mask)
+        ref = mod.apply(variables, x, mask)
+        self._patched(monkeypatch)
+        out = mod.apply(variables, x, mask)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=3e-4)
