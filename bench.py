@@ -43,6 +43,38 @@ def main() -> None:
     ap.add_argument("--json-only", action="store_true")
     args = ap.parse_args()
 
+    # The axon tunnel can wedge (backend init hangs in a retry loop —
+    # observed >2 h, CLAUDE.md). Probe initialization with a deadline so
+    # the driver gets a parseable failure line instead of a silent hang.
+    import os
+    import threading
+
+    probe_ok: list = []
+
+    def _probe():
+        import jax as _jax
+
+        probe_ok.append(len(_jax.devices()))
+
+    _t = threading.Thread(target=_probe, daemon=True)
+    _t.start()
+    _t.join(300)
+    if not probe_ok:
+        print(
+            json.dumps(
+                {
+                    "metric": "image_question_pairs_per_sec_per_chip",
+                    "value": 0.0,
+                    "unit": "pairs/s/chip",
+                    "vs_baseline": 0.0,
+                    "error": "backend init did not complete in 300s "
+                    "(TPU tunnel wedged)",
+                }
+            ),
+            flush=True,
+        )
+        os._exit(3)
+
     import jax
 
     # Persistent compilation cache: the ViT-L serving program takes ~7 min
