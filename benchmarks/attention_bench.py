@@ -95,11 +95,80 @@ def fanout_sweep(steps: int) -> None:
     A._FANOUT_PACK = 256
 
 
+def fused_sweep(steps: int) -> None:
+    """A/B the fused projection+attention+projection kernels vs the
+    unfused XLA chain at the serving-real sites (ops/fused_attn.py)."""
+    import jax
+    import jax.numpy as jnp
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/btia_jax_cache")
+    from btia_tpu.ops import fused_attn as FA
+
+    rng = np.random.RandomState(0)
+    H, D, Din = 12, 64, 768
+    mk = lambda *s: jnp.asarray(rng.randn(*s) * 0.05, jnp.float32)
+    params = [mk(Din, H * D), mk(H * D), mk(Din, H * D), mk(H * D),
+              mk(Din, H * D), mk(H * D), mk(H * D, Din), mk(Din)]
+    K = 20
+
+    def timeit(fn, x):
+        def body(xx):
+            def it(i, acc):
+                xi = xx + (i * 1e-6).astype(xx.dtype)
+                return acc + fn(xi).sum().astype(jnp.float32)
+
+            return jax.lax.fori_loop(0, K, it, jnp.float32(0))
+
+        g = jax.jit(body)
+        float(g(x))
+        t0 = time.perf_counter()
+        for _ in range(steps):
+            float(g(x))
+        return (time.perf_counter() - t0) / steps / K * 1000
+
+    # (site, Sq, Sk) — q and kv streams both (2048, S, 768) bf16.
+    for site, Sq, Sk in (("bert_self", 32, 32), ("btia_img_from_txt", 50, 32),
+                         ("btia_txt_from_img", 32, 50)):
+        xq = jnp.asarray(rng.randn(2048, Sq, Din), jnp.bfloat16)
+        xkv = (
+            xq if Sq == Sk
+            else jnp.asarray(rng.randn(2048, Sk, Din), jnp.bfloat16)
+        )
+        mask = jnp.ones((2048, Sk), bool)
+        for name, fn in (
+            ("fused", lambda a: FA._fused(a, xkv, mask, *params, H, False)),
+            ("unfused", lambda a: FA._unfused(a, xkv, mask, *params, num_heads=H)),
+        ):
+            try:
+                ms = timeit(fn, xq)
+                print(json.dumps({"site": site, "impl": name,
+                                  "ms": round(ms, 3)}), flush=True)
+            except Exception as e:  # noqa: BLE001
+                print(json.dumps({"site": site, "impl": name,
+                                  "error": str(e)[:120]}), flush=True)
+    # AD head: batch-invariant queries.
+    qs = mk(64, Din)
+    xkv = jnp.asarray(rng.randn(2048, 82, Din), jnp.bfloat16)
+    mask = jnp.ones((2048, 82), bool)
+    for name, fn in (
+        ("fused", lambda t: FA._staticq(qs, t, mask, *params, H, False)),
+        ("unfused", lambda t: FA._staticq_unfused(qs, t, mask, *params, num_heads=H)),
+    ):
+        try:
+            ms = timeit(fn, xkv)
+            print(json.dumps({"site": "ad_head_staticq", "impl": name,
+                              "ms": round(ms, 3)}), flush=True)
+        except Exception as e:  # noqa: BLE001
+            print(json.dumps({"site": "ad_head_staticq", "impl": name,
+                              "error": str(e)[:120]}), flush=True)
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--steps", type=int, default=10)
     ap.add_argument("--sites", default="")
     ap.add_argument("--fanout-sweep", action="store_true")
+    ap.add_argument("--fused-sweep", action="store_true")
     args = ap.parse_args()
 
     import jax
@@ -112,6 +181,9 @@ def main() -> None:
 
     if args.fanout_sweep:
         fanout_sweep(args.steps)
+        return
+    if args.fused_sweep:
+        fused_sweep(args.steps)
         return
 
     rng = np.random.RandomState(0)
