@@ -44,11 +44,58 @@ def main() -> None:
     args = ap.parse_args()
 
     # The axon tunnel can wedge (backend init hangs in a retry loop —
-    # observed >2 h, CLAUDE.md). Probe initialization with a deadline so
-    # the driver gets a parseable failure line instead of a silent hang.
+    # observed >2 h) but RECOVERS ON ITS OWN (CLAUDE.md: "poll, don't
+    # thrash"). Round 3 probed once for 300 s and gave up — one transient
+    # wedge zeroed the round's headline (VERDICT r3 weak #1). Now: poll
+    # with bounded retries (~25 min total) via SUBPROCESS probes — each
+    # subprocess is a fresh backend-init attempt, whereas an in-process
+    # retry would join the same stuck init.
     import os
+    import subprocess
     import threading
 
+    def _probe_subprocess(timeout_s: float) -> bool:
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c", "import jax; print(len(jax.devices()))"],
+                timeout=timeout_s,
+                capture_output=True,
+            )
+            return r.returncode == 0
+        except subprocess.TimeoutExpired:
+            return False
+
+    deadline = time.monotonic() + 25 * 60
+    healthy = False
+    attempt = 0
+    while time.monotonic() < deadline:
+        attempt += 1
+        if _probe_subprocess(90):
+            healthy = True
+            break
+        print(
+            f"bench: TPU backend probe {attempt} failed (tunnel wedged?); "
+            f"retrying in 45s", file=sys.stderr, flush=True,
+        )
+        time.sleep(45)
+    if not healthy:
+        print(
+            json.dumps(
+                {
+                    "metric": "image_question_pairs_per_sec_per_chip",
+                    "value": 0.0,
+                    "unit": "pairs/s/chip",
+                    "vs_baseline": 0.0,
+                    "error": "backend init never completed across "
+                    f"{attempt} probes over 25min (TPU tunnel wedged)",
+                }
+            ),
+            flush=True,
+        )
+        os._exit(3)
+
+    # Probe passed: init in-process too, with a deadline backstop in case
+    # the tunnel wedges between probe and init.
     probe_ok: list = []
 
     def _probe():
@@ -67,8 +114,8 @@ def main() -> None:
                     "value": 0.0,
                     "unit": "pairs/s/chip",
                     "vs_baseline": 0.0,
-                    "error": "backend init did not complete in 300s "
-                    "(TPU tunnel wedged)",
+                    "error": "backend init hung after a healthy probe "
+                    "(TPU tunnel wedged mid-startup)",
                 }
             ),
             flush=True,
