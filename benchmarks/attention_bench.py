@@ -169,6 +169,16 @@ def main() -> None:
     ap.add_argument("--sites", default="")
     ap.add_argument("--fanout-sweep", action="store_true")
     ap.add_argument("--fused-sweep", action="store_true")
+    ap.add_argument(
+        "--dim-semantics", default=None, choices=["arbitrary", "parallel"],
+        help="override ops.fused_attn._DIM_SEMANTICS for this run "
+        "(VERDICT r3 #7 A/B)",
+    )
+    ap.add_argument(
+        "--staticq-bb", type=int, default=None,
+        help="override ops.fused_attn._STATICQ_BB (batch packing) "
+        "for this run (VERDICT r3 #7 A/B)",
+    )
     args = ap.parse_args()
 
     import jax
@@ -178,6 +188,17 @@ def main() -> None:
 
     from btia_tpu.ops import attention as A
     from btia_tpu.ops.attention import mha, mha_bshd
+
+    if args.dim_semantics or args.staticq_bb:
+        from btia_tpu.ops import fused_attn as FA
+
+        if args.dim_semantics:
+            FA._DIM_SEMANTICS = args.dim_semantics
+        if args.staticq_bb:
+            FA._STATICQ_BB = args.staticq_bb
+        print(json.dumps({"knobs": {"dim_semantics": FA._DIM_SEMANTICS,
+                                    "staticq_bb": FA._STATICQ_BB}}),
+              flush=True)
 
     if args.fanout_sweep:
         fanout_sweep(args.steps)

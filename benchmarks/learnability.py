@@ -80,6 +80,14 @@ def main() -> None:
         default="none",
         choices=["none", "fusion", "pool", "dtype", "head", "all"],
     )
+    ap.add_argument(
+        "--task",
+        default="learnable",
+        choices=["learnable", "compositional"],
+        help="compositional: two organs per image with independent "
+        "lesions; 'is the {organ} normal' requires question→site routing "
+        "(the capability the BTIA block exists for) [VERDICT r3 #6]",
+    )
     args = ap.parse_args()
 
     from btia_tpu.configs import get_config
@@ -91,7 +99,10 @@ def main() -> None:
 
     root = Path(tempfile.mkdtemp(prefix="learnstudy_"))
     splits = generate_synthetic_dataset(
-        root / "data", num_images=args.num_images, learnable=True
+        root / "data",
+        num_images=args.num_images,
+        learnable=True,
+        compositional=args.task == "compositional",
     )
     blind = blind_best(splits["train"], splits["val"])
     print(

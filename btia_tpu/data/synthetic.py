@@ -65,6 +65,7 @@ def _render_learnable(
     plane: str,
     abnormal: bool,
     size: int = 128,
+    second: Optional[tuple] = None,
 ) -> np.ndarray:
     """Render (organ, modality, plane, abnormal) into pixels, with nuisance
     jitter/noise so val generalization (unseen images) is required:
@@ -79,26 +80,28 @@ def _render_learnable(
     img = np.full((size, size), bg, np.float32)
     img += (x / size - 0.5) * rng.randn() * 8  # mild nuisance gradient
 
-    cx = (_ORGAN_POS[organ][0] + rng.uniform(-0.04, 0.04)) * size
-    cy = (_ORGAN_POS[organ][1] + rng.uniform(-0.04, 0.04)) * size
-    sx, sy = _PLANE_ASPECT[plane]
-    r = size * (0.11 + rng.uniform(-0.012, 0.012))
-    d2 = ((x - cx) / (sx * r)) ** 2 + ((y - cy) / (sy * r)) ** 2
-    # Structure contrasts against the band: darker on bright backgrounds,
-    # brighter on dark ones — visible for every modality.
-    delta = -70.0 if bg > 128 else 70.0
-    img += delta * np.exp(-d2 / 2.0)
+    structures = [(organ, abnormal)] + ([second] if second else [])
+    for org, abn in structures:
+        cx = (_ORGAN_POS[org][0] + rng.uniform(-0.04, 0.04)) * size
+        cy = (_ORGAN_POS[org][1] + rng.uniform(-0.04, 0.04)) * size
+        sx, sy = _PLANE_ASPECT[plane]
+        r = size * (0.11 + rng.uniform(-0.012, 0.012))
+        d2 = ((x - cx) / (sx * r)) ** 2 + ((y - cy) / (sy * r)) ** 2
+        # Structure contrasts against the band: darker on bright
+        # backgrounds, brighter on dark ones — visible for every modality.
+        delta = -70.0 if bg > 128 else 70.0
+        img += delta * np.exp(-d2 / 2.0)
 
-    if abnormal:
-        # Lesion: near-saturated dot at the structure center, opposite
-        # contrast direction to the structure itself.
-        lx = cx + rng.uniform(-0.25, 0.25) * r
-        ly = cy + rng.uniform(-0.25, 0.25) * r
-        lr = size * 0.06  # ≥3.8 px even after a 64-px encoder resize
-        ld2 = (x - lx) ** 2 + (y - ly) ** 2
-        lesion = 255.0 if bg > 128 else 0.0
-        w = np.exp(-ld2 / (2 * lr * lr))
-        img = img * (1 - w) + lesion * w
+        if abn:
+            # Lesion: near-saturated dot at the structure center, opposite
+            # contrast direction to the structure itself.
+            lx = cx + rng.uniform(-0.25, 0.25) * r
+            ly = cy + rng.uniform(-0.25, 0.25) * r
+            lr = size * 0.06  # ≥3.8 px even after a 64-px encoder resize
+            ld2 = (x - lx) ** 2 + (y - ly) ** 2
+            lesion = 255.0 if bg > 128 else 0.0
+            w = np.exp(-ld2 / (2 * lr * lr))
+            img = img * (1 - w) + lesion * w
 
     img += rng.randn(size, size) * 4  # sensor noise
     g = np.clip(img, 0, 255).astype(np.uint8)
@@ -135,6 +138,42 @@ def _learnable_qa(
     ]
 
 
+def _compositional_labels(rng: np.random.RandomState):
+    """Two DISTINCT organs, each independently abnormal — the question
+    must SELECT which organ's site to inspect [VERDICT r3 #6]."""
+    i, j = rng.choice(len(_ORGANS), size=2, replace=False)
+    modality = _MODALITIES[rng.randint(len(_MODALITIES))]
+    return (
+        _ORGANS[i],
+        bool(rng.rand() < 0.5),
+        _ORGANS[j],
+        bool(rng.rand() < 0.5),
+        modality,
+    )
+
+
+def _compositional_qa(o1, a1, o2, a2, modality):
+    """The answer to 'is the {organ} normal' is a function of an image
+    attribute (lesion at a SITE) selected by a question slot (the organ
+    word) — a model without question→image attention cannot route the
+    query to the right site and caps at the per-template majority; the
+    BTIA fusion block answers it structurally. 'which organ is abnormal'
+    composes both reads. One anchor question (modality) stays
+    non-compositional."""
+    if a1 and a2:
+        which = "both"
+    elif a1 or a2:
+        which = o1 if a1 else o2
+    else:
+        which = "none"
+    return [
+        (f"is the {o1} normal", "no" if a1 else "yes", "CLOSED"),
+        (f"is the {o2} normal", "no" if a2 else "yes", "CLOSED"),
+        ("which organ is abnormal", which, "OPEN"),
+        ("what imaging modality was used", modality, "OPEN"),
+    ]
+
+
 def generate_synthetic_dataset(
     root: Optional[Path] = None,
     num_images: int = 6,
@@ -142,6 +181,7 @@ def generate_synthetic_dataset(
     seed: int = 0,
     learnable: bool = False,
     val_frac: float = 0.25,
+    compositional: bool = False,
 ) -> Dict[str, List[VQASample]]:
     """Write a VQA-RAD-format corpus (JPEGs + 1 DICOM + JSON) and load it.
 
@@ -154,7 +194,15 @@ def generate_synthetic_dataset(
     images (the last `val_frac` of them), so val accuracy measures
     generalization of a real multimodal mapping. Used by
     benchmarks/learnability.py and tests/test_learnability.py.
+
+    compositional=True (implies learnable rendering): every image holds
+    TWO organ structures with independent lesions; 'is the {organ}
+    normal' requires routing the question's organ slot to that organ's
+    image site [VERDICT r3 #6] — the task the BTIA fusion block exists
+    for. Plane is fixed axial (round structures never overlap).
     """
+    if compositional:
+        learnable = True
     if root is None:
         root = Path(tempfile.gettempdir()) / f"btia_synth_{seed}_{num_images}"
     root = Path(root)
@@ -165,7 +213,12 @@ def generate_synthetic_dataset(
     n_train_imgs = num_images - max(1, int(round(num_images * val_frac)))
     items = []
     for i in range(num_images):
-        if learnable:
+        if compositional:
+            o1, a1, o2, a2, modality = _compositional_labels(rng)
+            arr = _render_learnable(
+                rng, o1, modality, "axial", a1, second=(o2, a2)
+            )
+        elif learnable:
             organ, modality, plane, abnormal = _learnable_labels(rng)
             arr = _render_learnable(rng, organ, modality, plane, abnormal)
         else:
@@ -182,7 +235,9 @@ def generate_synthetic_dataset(
             name = f"synpic{i}.jpg"
             Image.fromarray(arr).save(img_dir / name, quality=92)
 
-        if learnable:
+        if compositional:
+            qa = _compositional_qa(o1, a1, o2, a2, modality)[:qa_per_image]
+        elif learnable:
             qa = _learnable_qa(rng, organ, modality, plane, abnormal)[
                 :qa_per_image
             ]

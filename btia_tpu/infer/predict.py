@@ -64,11 +64,23 @@ class Predictor:
         self.cfg = cfg
         self.ingest_size = max(256, cfg.model.image_size)
         self._forward_cache: Dict[Tuple[int, int], jax.stages.Wrapped] = {}
-        self._encode = jax.jit(
-            lambda v, imgs: self.model.apply(
-                v, self._constrain(imgs), method="encode_image"
-            )
-        )
+
+        def _encode_body(v, imgs):
+            # ALL mesh-traced programs go through _fused_ctx so the fused
+            # Pallas kernels only ever partition via explicit shard_map,
+            # never bare pjit (ADVICE r3 medium: this class used to skip
+            # the guard that train/steps.py and infer/sharded.py apply).
+            with self._fused_ctx():
+                return self.model.apply(
+                    v, self._constrain(imgs), method="encode_image"
+                )
+
+        self._encode = jax.jit(_encode_body)
+
+    def _fused_ctx(self):
+        from btia_tpu.ops.fused_attn import fused_mesh
+
+        return fused_mesh(self.mesh)
 
     def _constrain(self, x: jax.Array) -> jax.Array:
         """Shard a batch-shaped array's leading dim over 'data' when a
@@ -138,15 +150,16 @@ class Predictor:
         if key not in self._forward_cache:
 
             def fwd(variables, images, qids):
-                img_tokens = self.model.apply(
-                    variables, self._constrain(images), method="encode_image"
-                )
-                return self.model.apply(
-                    variables,
-                    img_tokens,
-                    self._constrain(qids),
-                    method="answer_questions",
-                )
+                with self._fused_ctx():
+                    img_tokens = self.model.apply(
+                        variables, self._constrain(images), method="encode_image"
+                    )
+                    return self.model.apply(
+                        variables,
+                        img_tokens,
+                        self._constrain(qids),
+                        method="answer_questions",
+                    )
 
             self._forward_cache[key] = jax.jit(fwd)
         return self._forward_cache[key]
@@ -159,17 +172,18 @@ class Predictor:
         if key not in self._forward_cache:
 
             def fwd(variables, images, unique_ids, pair_img, pair_q):
-                img_tokens = self.model.apply(
-                    variables, self._constrain(images), method="encode_image"
-                )
-                return self.model.apply(
-                    variables,
-                    img_tokens,
-                    self._constrain(unique_ids),
-                    self._constrain(pair_img),
-                    self._constrain(pair_q),
-                    method="answer_pairs",
-                )
+                with self._fused_ctx():
+                    img_tokens = self.model.apply(
+                        variables, self._constrain(images), method="encode_image"
+                    )
+                    return self.model.apply(
+                        variables,
+                        img_tokens,
+                        self._constrain(unique_ids),
+                        self._constrain(pair_img),
+                        self._constrain(pair_q),
+                        method="answer_pairs",
+                    )
 
             self._forward_cache[key] = jax.jit(fwd)
         return self._forward_cache[key]
@@ -182,16 +196,17 @@ class Predictor:
         if key not in self._forward_cache:
 
             def fwd(variables, images, unique_ids, qmap):
-                img_tokens = self.model.apply(
-                    variables, self._constrain(images), method="encode_image"
-                )
-                return self.model.apply(
-                    variables,
-                    img_tokens,
-                    self._constrain(unique_ids),
-                    self._constrain(qmap),
-                    method="answer_questions_indexed",
-                )
+                with self._fused_ctx():
+                    img_tokens = self.model.apply(
+                        variables, self._constrain(images), method="encode_image"
+                    )
+                    return self.model.apply(
+                        variables,
+                        img_tokens,
+                        self._constrain(unique_ids),
+                        self._constrain(qmap),
+                        method="answer_questions_indexed",
+                    )
 
             self._forward_cache[key] = jax.jit(fwd)
         return self._forward_cache[key]

@@ -19,7 +19,7 @@ from jax.sharding import Mesh
 
 from btia_tpu.configs.config import Config
 from btia_tpu.models.model import BTIAADNet
-from btia_tpu.ops.fused_attn import disable_fused
+from btia_tpu.ops.fused_attn import fused_mesh
 from btia_tpu.parallel.sharding import batch_sharding, param_shardings
 
 
@@ -66,10 +66,11 @@ def make_sharded_serve_fn(
     b_sh = batch_sharding(mesh)
 
     def serve(variables, images, qids):
-        # Trace with the unfused attention road: the fused Pallas
-        # projection kernels are not yet validated under pjit+TP on real
-        # multi-chip hardware (see ops.fused_attn.disable_fused).
-        with disable_fused():
+        # fused_mesh(mesh): the fused Pallas projection kernels trace
+        # inside explicit shard_map partitioning (batch over 'data',
+        # heads over 'model') — the bare-pjit custom-call hazard
+        # (operand replication/gather) is structurally impossible.
+        with fused_mesh(mesh):
             images = jax.lax.with_sharding_constraint(images, b_sh)
             qids = jax.lax.with_sharding_constraint(qids, b_sh)
             img_tokens = model.apply(variables, images, method="encode_image")
@@ -102,7 +103,7 @@ def make_sharded_serve_indexed_fn(
     b_sh = batch_sharding(mesh)
 
     def serve(variables, images, unique_ids, qmap):
-        with disable_fused():  # see make_sharded_serve_fn
+        with fused_mesh(mesh):  # see make_sharded_serve_fn
             images = jax.lax.with_sharding_constraint(images, b_sh)
             unique_ids = jax.lax.with_sharding_constraint(unique_ids, b_sh)
             qmap = jax.lax.with_sharding_constraint(qmap, b_sh)

@@ -13,6 +13,7 @@ from btia_tpu.ops.bicross import (  # noqa: F401
 from btia_tpu.ops.fused_attn import (  # noqa: F401
     disable_fused,
     fused_dense_attention,
+    fused_mesh,
     fused_static_q_attention,
 )
 from btia_tpu.ops.ingest import normalize_images, preprocess_images  # noqa: F401

@@ -47,18 +47,32 @@ from btia_tpu.ops.attention import (
 )
 
 # The fused kernels are measured and equivalence-tested on the
-# single-device serving path. Under pjit with TP-sharded weights, XLA's
-# partitioning of the custom call is unvalidated on real multi-chip
-# hardware (it may replicate/gather operands) — the mesh serving
-# programs trace inside disable_fused() and keep the proven unfused
-# road (XLA projections + the fan-out kernel) until then.
+# single-device serving path. Under bare pjit with TP-sharded weights,
+# XLA's SPMD partitioning of the custom call is UNSAFE (it replicates /
+# gathers operands) — so mesh programs must trace inside fused_mesh(),
+# which wraps every fused call in an explicit shard_map (batch over
+# 'data', heads over 'model', per-rank output-projection partials
+# psum'd over 'model') so the partitioning is manual and safe by
+# construction. disable_fused() keeps the fully-unfused road available.
 _ENABLED = True
+_MESH = None  # set by fused_mesh(); routes fused calls through shard_map
+
+# A/B knobs (VERDICT r3 #7; measured on device, see BENCH_NOTES r4):
+# grid programs are independent across batch blocks, so 'parallel' is
+# semantically valid — whether it beats 'arbitrary' is an empirical
+# Mosaic-scheduling question.
+_DIM_SEMANTICS = "arbitrary"
+# Static-q head kernel batch packing: bb=2 stacks two batch elements'
+# answer-query rows into one block-diagonal program (rows 64→128 = one
+# full MXU sublane tile; k/v projection rows 82→164) at 2× score FLOPs.
+_STATICQ_BB = 1
 
 
 @contextlib.contextmanager
 def disable_fused():
     """Route fused_dense_attention/fused_static_q_attention through the
-    unfused path for everything traced inside this context."""
+    unfused path for everything traced inside this context — including
+    interpret-capable shapes (this context is authoritative)."""
     global _ENABLED
     old = _ENABLED
     _ENABLED = False
@@ -66,6 +80,35 @@ def disable_fused():
         yield
     finally:
         _ENABLED = old
+
+
+@contextlib.contextmanager
+def fused_mesh(mesh):
+    """Trace fused attention under an explicit device mesh.
+
+    Inside this context, fused_dense_attention/fused_static_q_attention
+    wrap their Pallas custom calls in jax.shard_map over `mesh`: the
+    batch partitions over 'data' (safe by construction — the kernel grid
+    is batch-blocked), attention heads + q/k/v projection columns
+    partition over 'model', and the row-sharded output projection's
+    partial results are psum'd over 'model' (Megatron-style TP). Sites
+    whose per-shard shapes fail the fused gates take the unfused XLA
+    road, which pjit partitions natively. `mesh=None` or a 1-device mesh
+    is a no-op (plain single-device routing)."""
+    global _MESH
+    old = _MESH
+    _MESH = mesh if (mesh is not None and mesh.size > 1) else None
+    try:
+        yield
+    finally:
+        _MESH = old
+
+
+def _mesh_axes(mesh):
+    """(dp, tp) axis sizes of the ('data','model') mesh, or (1, 1)."""
+    if mesh is None:
+        return 1, 1
+    return mesh.shape["data"], mesh.shape["model"]
 
 
 def _fused_kernel(
@@ -203,7 +246,7 @@ def _fused_pallas(
             (bb, Sq, Dout), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
         ),
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary",),
+            dimension_semantics=(_DIM_SEMANTICS,),
         ),
         cost_estimate=pl.CostEstimate(
             flops=2 * Bp * (Sq + 2 * Sk) * Din * HD  # qkv projections
@@ -269,6 +312,53 @@ def _fused_bwd(nh, interp, res, g):
 _fused.defvjp(_fused_fwd, _fused_bwd)
 
 
+def _fused_over_mesh(
+    x_q, x_kv, kv_mask, wq, bq, wk, bk, wv, bv, wo, bo, num_heads,
+    interpret, mesh, tp,
+):
+    """The fused kernel under an explicit shard_map partitioning:
+    batch over 'data', heads (q/k/v projection columns) over 'model',
+    output projection rows over 'model' with a psum of the partials.
+    Each shard runs the proven single-device custom_vjp; pjit never sees
+    an unpartitioned custom call (the round-3 multi-chip hazard)."""
+    from jax.sharding import PartitionSpec as P
+
+    colmask = (
+        kv_mask.astype(jnp.float32)
+        if kv_mask is not None
+        else jnp.ones(x_kv.shape[:2], jnp.float32)
+    )
+    nh_shard = num_heads // tp
+
+    def per_shard(xq, xkv, cm, wq_, bq_, wk_, bk_, wv_, bv_, wo_, bo_):
+        out = _fused(
+            xq, xkv, cm, wq_, bq_, wk_, bk_, wv_, bv_, wo_, bo_,
+            nh_shard, interpret,
+        )
+        if tp > 1:
+            out = jax.lax.psum(out, "model")
+        return out
+
+    fn = jax.shard_map(
+        per_shard,
+        mesh=mesh,
+        in_specs=(
+            P("data"), P("data"), P("data"),
+            P(None, "model"), P("model"),
+            P(None, "model"), P("model"),
+            P(None, "model"), P("model"),
+            P("model", None), P(None),
+        ),
+        out_specs=P("data"),
+        check_vma=False,  # custom_vjp inside defeats replication inference
+    )
+    # Each rank adds its bias share; the 'model' psum reassembles bo.
+    return fn(
+        x_q, x_kv, colmask, wq, bq, wk, bk, wv, bv, wo,
+        (bo.astype(jnp.float32) / tp).astype(bo.dtype),
+    )
+
+
 def _staticq_kernel(
     xkv_ref,
     cmask_ref,
@@ -282,11 +372,14 @@ def _staticq_kernel(
     o_ref,
     *,
     num_heads,
+    bb,
+    nq,
+    sk,
 ):
     cd = xkv_ref.dtype
     hd = q2_ref.shape[1]
     d = hd // num_heads
-    xkv = xkv_ref[0]
+    xkv = xkv_ref[...].reshape(bb * sk, xkv_ref.shape[2])
 
     def proj(x, w_ref, b_ref):
         y = jax.lax.dot_general(
@@ -299,9 +392,25 @@ def _staticq_kernel(
 
     k = proj(xkv, wk_ref, bk_ref)
     v = proj(xkv, wv_ref, bv_ref)
-    q = q2_ref[...]  # (K, HD), pre-projected + log2-prescaled, resident
-    cmask = cmask_ref[0]  # (1, Sk)
-    neg_bias = (1.0 - cmask) * 1e9
+    # (K, HD) pre-projected + log2-prescaled, VMEM-resident. bb > 1
+    # stacks the SAME query table per packed batch element: the score
+    # matmul widens to (bb·K, bb·Sk) block-diagonal (full MXU rows at 2×
+    # score FLOPs — the _fanout_kernel trade).
+    q = q2_ref[...]
+    if bb > 1:
+        q = jnp.concatenate([q] * bb, axis=0)
+    cmask = cmask_ref[0, 0]  # (bb·Sk,)
+    if bb > 1:
+        rows_b = (
+            jax.lax.broadcasted_iota(jnp.int32, (bb * nq, bb * sk), 0) // nq
+        )
+        cols_b = (
+            jax.lax.broadcasted_iota(jnp.int32, (bb * nq, bb * sk), 1) // sk
+        )
+        mask = jnp.where(rows_b == cols_b, cmask, 0.0)
+    else:
+        mask = cmask.reshape(1, sk)
+    neg_bias = (1.0 - mask) * 1e9
     outs = []
     for h in range(num_heads):
         sl = slice(h * d, (h + 1) * d)
@@ -313,7 +422,7 @@ def _staticq_kernel(
         )
         s = s - neg_bias
         m = jnp.max(s, axis=-1, keepdims=True)
-        e = jnp.exp2(s - m) * cmask
+        e = jnp.exp2(s - m) * mask
         denom = jnp.maximum(jnp.sum(e, axis=-1, keepdims=True), 1e-30)
         acc = jax.lax.dot_general(
             e.astype(cd),
@@ -329,7 +438,8 @@ def _staticq_kernel(
         dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
-    o_ref[0] = (out + bo_ref[...]).astype(o_ref.dtype)
+    out = (out + bo_ref[...]).astype(o_ref.dtype)
+    o_ref[...] = out.reshape(bb, nq, wo_ref.shape[1])
 
 
 def _staticq_pallas(
@@ -360,38 +470,47 @@ def _staticq_pallas(
     wk, wv, wo = (w.astype(cd) for w in (wk, wv, wo))
     bk, bv, bo = (b.astype(jnp.float32).reshape(1, -1) for b in (bk, bv, bo))
 
+    bb = _STATICQ_BB
+    Bp = _round_up(B, bb)
+    if Bp != B:
+        x_kv = jnp.pad(x_kv, ((0, Bp - B), (0, 0), (0, 0)))
+        colmask = jnp.pad(colmask, ((0, Bp - B), (0, 0)))
+    cm = colmask.reshape(Bp // bb, 1, bb * Sk)
+
     wspec = lambda w: pl.BlockSpec(
         w.shape, lambda i: (0,) * w.ndim, memory_space=pltpu.VMEM
     )
     out = pl.pallas_call(
-        functools.partial(_staticq_kernel, num_heads=num_heads),
-        out_shape=jax.ShapeDtypeStruct((B, K, Dout), cd),
-        grid=(B,),
+        functools.partial(
+            _staticq_kernel, num_heads=num_heads, bb=bb, nq=K, sk=Sk
+        ),
+        out_shape=jax.ShapeDtypeStruct((Bp, K, Dout), cd),
+        grid=(Bp // bb,),
         in_specs=[
             pl.BlockSpec(
-                (1, Sk, Din), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+                (bb, Sk, Din), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
             ),
             pl.BlockSpec(
-                (1, 1, Sk), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+                (1, 1, bb * Sk), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
             ),
         ]
         + [wspec(w) for w in (q2, wk, wv, wo, bk, bv, bo)],
         out_specs=pl.BlockSpec(
-            (1, K, Dout), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+            (bb, K, Dout), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
         ),
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary",),
+            dimension_semantics=(_DIM_SEMANTICS,),
         ),
         cost_estimate=pl.CostEstimate(
-            flops=2 * B * Sk * Din * 2 * HD
-            + 2 * B * K * HD * Dout
-            + 4 * B * num_heads * K * Sk * D,
-            bytes_accessed=(x_kv.size + B * K * Dout) * x_kv.dtype.itemsize,
-            transcendentals=B * num_heads * K * Sk,
+            flops=2 * Bp * Sk * Din * 2 * HD
+            + 2 * Bp * K * HD * Dout
+            + 4 * Bp * bb * num_heads * K * Sk * D,
+            bytes_accessed=(x_kv.size + Bp * K * Dout) * x_kv.dtype.itemsize,
+            transcendentals=Bp * bb * num_heads * K * Sk,
         ),
         interpret=interpret,
-    )(x_kv, colmask.reshape(B, 1, Sk), q2, wk, wv, wo, bk, bv, bo)
-    return out
+    )(x_kv, cm, q2, wk, wv, wo, bk, bv, bo)
+    return out[:B]
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(11, 12))
@@ -438,6 +557,50 @@ def _staticq_bwd(nh, it, res, g):
 _staticq.defvjp(_staticq_fwd, _staticq_bwd)
 
 
+def _staticq_over_mesh(
+    queries, x_kv, kv_mask, wq, bq, wk, bk, wv, bv, wo, bo, num_heads,
+    interpret, mesh, tp,
+):
+    """fused_static_q_attention under shard_map (see _fused_over_mesh):
+    the batch-invariant query table replicates; everything else follows
+    the same data/model partitioning."""
+    from jax.sharding import PartitionSpec as P
+
+    colmask = (
+        kv_mask.astype(jnp.float32)
+        if kv_mask is not None
+        else jnp.ones(x_kv.shape[:2], jnp.float32)
+    )
+    nh_shard = num_heads // tp
+
+    def per_shard(qs, xkv, cm, wq_, bq_, wk_, bk_, wv_, bv_, wo_, bo_):
+        out = _staticq(
+            qs, xkv, cm, wq_, bq_, wk_, bk_, wv_, bv_, wo_, bo_,
+            nh_shard, interpret,
+        )
+        if tp > 1:
+            out = jax.lax.psum(out, "model")
+        return out
+
+    fn = jax.shard_map(
+        per_shard,
+        mesh=mesh,
+        in_specs=(
+            P(None), P("data"), P("data"),
+            P(None, "model"), P("model"),
+            P(None, "model"), P("model"),
+            P(None, "model"), P("model"),
+            P("model", None), P(None),
+        ),
+        out_specs=P("data"),
+        check_vma=False,
+    )
+    return fn(
+        queries, x_kv, colmask, wq, bq, wk, bk, wv, bv, wo,
+        (bo.astype(jnp.float32) / tp).astype(bo.dtype),
+    )
+
+
 def fused_static_q_attention(
     queries: jax.Array,
     x_kv: jax.Array,
@@ -462,23 +625,35 @@ def fused_static_q_attention(
     K = queries.shape[0]
     HD = wq.shape[1]
     D = HD // num_heads
-    use_fused = (
-        _ENABLED
-        and _resolved_impl() == "pallas"
-        and B >= _FANOUT_MIN_BATCH
+    mesh = _MESH
+    dp, tp = _mesh_axes(mesh)
+    # Under a mesh, the shard decomposition itself must be exact:
+    shardable = B % dp == 0 and num_heads % tp == 0
+    # Hardware gates evaluate PER-SHARD shapes (HD/tp lanes per rank).
+    gates = (
+        _resolved_impl() == "pallas"
+        and B // dp >= _FANOUT_MIN_BATCH
         and K * Sk <= _SMALL_SCORE_TILE
         and D % 64 == 0
         and wq.shape[0] % 128 == 0
-        and HD % 128 == 0
+        and wk.shape[0] % 128 == 0  # kv stream's own feature dim (ADVICE r3)
+        and (HD // tp) % 128 == 0
         and wo.shape[1] % 128 == 0
-    ) or interpret
+    )
+    # disable_fused() is authoritative even over interpret=True requests.
+    use_fused = _ENABLED and shardable and (interpret or gates)
     if not use_fused:
         return _staticq_unfused(
             queries, x_kv, kv_mask, wq, bq, wk, bk, wv, bv, wo, bo, num_heads
         )
-    return _staticq(
+    if mesh is None:
+        return _staticq(
+            queries, x_kv, kv_mask, wq, bq, wk, bk, wv, bv, wo, bo,
+            num_heads, interpret,
+        )
+    return _staticq_over_mesh(
         queries, x_kv, kv_mask, wq, bq, wk, bk, wv, bv, wo, bo,
-        num_heads, interpret,
+        num_heads, interpret, mesh, tp,
     )
 
 
@@ -507,20 +682,33 @@ def fused_dense_attention(
     Sk = x_kv.shape[1]
     HD = wq.shape[1]
     D = HD // num_heads
-    use_fused = (
-        _ENABLED
-        and _resolved_impl() == "pallas"
-        and B >= _FANOUT_MIN_BATCH
+    mesh = _MESH
+    dp, tp = _mesh_axes(mesh)
+    # Under a mesh, the shard decomposition itself must be exact:
+    shardable = B % dp == 0 and num_heads % tp == 0
+    # Hardware gates evaluate PER-SHARD shapes (HD/tp lanes per rank).
+    gates = (
+        _resolved_impl() == "pallas"
+        and B // dp >= _FANOUT_MIN_BATCH
         and Sq * Sk <= _SMALL_SCORE_TILE
         and D % 64 == 0
         and wq.shape[0] % 128 == 0
-        and HD % 128 == 0
+        and wk.shape[0] % 128 == 0  # kv stream's own feature dim (ADVICE r3)
+        and (HD // tp) % 128 == 0
         and wo.shape[1] % 128 == 0
-    ) or interpret
+    )
+    # disable_fused() is authoritative even over interpret=True requests.
+    use_fused = _ENABLED and shardable and (interpret or gates)
     if not use_fused:
         return _unfused(
             x_q, x_kv, kv_mask, wq, bq, wk, bk, wv, bv, wo, bo, num_heads
         )
-    return _fused(
-        x_q, x_kv, kv_mask, wq, bq, wk, bk, wv, bv, wo, bo, num_heads, interpret
+    if mesh is None:
+        return _fused(
+            x_q, x_kv, kv_mask, wq, bq, wk, bk, wv, bv, wo, bo,
+            num_heads, interpret,
+        )
+    return _fused_over_mesh(
+        x_q, x_kv, kv_mask, wq, bq, wk, bk, wv, bv, wo, bo,
+        num_heads, interpret, mesh, tp,
     )

@@ -83,6 +83,13 @@ class Checkpointer:
         ):
             self._best_metric = metric
             self.best_manager.save(step, args=ocp.args.StandardSave(savable))
+            # Durability barrier BEFORE the sidecar write: best.json must
+            # never point at a step absent from best_ckpt (a crash in that
+            # window would make a fresh process silently trust a phantom
+            # best metric / fall back to an older checkpoint). Best saves
+            # are rare (val improvements only), so blocking here does not
+            # serialize the rotating async save path. (ADVICE r3.)
+            self.best_manager.wait_until_finished()
             (self.directory / "best.json").write_text(
                 json.dumps({"step": step, "metric": metric})
             )

@@ -144,15 +144,13 @@ def _train_step_body(
     ls = cfg.train.label_smoothing
 
     def step(state: TrainState, batch: dict) -> Tuple[TrainState, dict]:
-        import contextlib
+        from btia_tpu.ops.fused_attn import fused_mesh
 
-        from btia_tpu.ops.fused_attn import disable_fused
-
-        # Multi-device programs trace the unfused attention road (the
-        # fused projection kernels are unvalidated under pjit sharding on
-        # real hardware — ops.fused_attn.disable_fused).
-        ctx = disable_fused() if mesh.size > 1 else contextlib.nullcontext()
-        with ctx:
+        # Multi-device programs trace with fused_mesh(mesh): the fused
+        # projection kernels run inside an explicit shard_map (batch over
+        # 'data', heads over 'model') — never under bare-pjit custom-call
+        # partitioning, which would replicate/gather operands.
+        with fused_mesh(mesh):
             return _step_inner(state, batch)
 
     def _step_inner(state: TrainState, batch: dict) -> Tuple[TrainState, dict]:

@@ -452,6 +452,25 @@ class TestFusedDenseAttention:
         ref = _staticq_unfused(qs, xkv, mask, *args, num_heads=2)
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-4)
 
+    @pytest.mark.parametrize("bb", [2, 4])
+    def test_staticq_bb_packing_matches(self, rng, bb, monkeypatch):
+        """bb-packed static-q kernel (block-diagonal batch packing, full
+        MXU rows — VERDICT r3 #7 A/B) ≡ bb=1, incl. a non-divisible B
+        (padding path)."""
+        from btia_tpu.ops import fused_attn as FA
+
+        B, K, Sk, H, D, Din = 6, 16, 24, 2, 64, 128
+        mk = lambda *s: jnp.asarray(rng.randn(*s) * 0.05, jnp.float32)
+        args = [mk(Din, H * D), mk(H * D), mk(Din, H * D), mk(H * D),
+                mk(Din, H * D), mk(H * D), mk(H * D, Din), mk(Din)]
+        qs = mk(K, Din)
+        xkv = jnp.asarray(rng.randn(B, Sk, Din), jnp.float32)
+        mask = jnp.asarray(rng.rand(B, Sk) > 0.3).at[:, 0].set(True)
+        ref = FA._staticq_unfused(qs, xkv, mask, *args, num_heads=H)
+        monkeypatch.setattr(FA, "_STATICQ_BB", bb)
+        out = FA._staticq(qs, xkv, mask, *args, H, True)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-4)
+
     def test_staticq_gradients_match_unfused(self, rng):
         from btia_tpu.ops.fused_attn import _staticq, _staticq_unfused
 
@@ -476,12 +495,188 @@ class TestFusedDenseAttention:
                 np.asarray(a), np.asarray(b), atol=5e-3, rtol=1e-4
             )
 
-    def test_disable_fused_context(self, rng):
+    def test_disable_fused_context(self, rng, monkeypatch):
         """disable_fused() must route even interpret-capable shapes through
-        the unfused road (the mesh programs rely on this)."""
+        the unfused road — the context is authoritative over interpret=True
+        (ADVICE r3: the old gate let `or interpret` override it). Asserts
+        actual ROUTING, not just the flag."""
         from btia_tpu.ops import fused_attn as FA
 
-        assert FA._ENABLED
+        B, S, H, D, Din = 64, 16, 2, 64, 128
+        p = self._params(rng, Din, H * D, Din)
+        x = jnp.asarray(rng.randn(B, S, Din), jnp.float32)
+        args = [p[k] for k in ("wq", "bq", "wk", "bk", "wv", "bv", "wo", "bo")]
+        calls = []
+        real_fused, real_unfused = FA._fused, FA._unfused
+        monkeypatch.setattr(
+            FA, "_fused",
+            lambda *a, **k: calls.append("fused") or real_fused(*a, **k),
+        )
+        monkeypatch.setattr(
+            FA, "_unfused",
+            lambda *a, **k: calls.append("unfused") or real_unfused(*a, **k),
+        )
         with FA.disable_fused():
             assert not FA._ENABLED
+            FA.fused_dense_attention(x, x, None, *args, H, interpret=True)
+        assert calls == ["unfused"], calls
+        calls.clear()
+        FA.fused_dense_attention(x, x, None, *args, H, interpret=True)
+        assert calls == ["fused"], calls
         assert FA._ENABLED
+
+    def test_staticq_disable_fused_routing(self, rng, monkeypatch):
+        """Same authority check for the static-q (AD head) entry point."""
+        from btia_tpu.ops import fused_attn as FA
+
+        B, K, Sk, H, D, Din = 64, 8, 16, 2, 64, 128
+        mk = lambda *s: jnp.asarray(rng.randn(*s) * 0.05, jnp.float32)
+        args = [mk(Din, H * D), mk(H * D), mk(Din, H * D), mk(H * D),
+                mk(Din, H * D), mk(H * D), mk(H * D, Din), mk(Din)]
+        qs = mk(K, Din)
+        xkv = jnp.asarray(rng.randn(B, Sk, Din), jnp.float32)
+        calls = []
+        real_f, real_u = FA._staticq, FA._staticq_unfused
+        monkeypatch.setattr(
+            FA, "_staticq",
+            lambda *a, **k: calls.append("fused") or real_f(*a, **k),
+        )
+        monkeypatch.setattr(
+            FA, "_staticq_unfused",
+            lambda *a, **k: calls.append("unfused") or real_u(*a, **k),
+        )
+        with FA.disable_fused():
+            FA.fused_static_q_attention(qs, xkv, None, *args, H, interpret=True)
+        assert calls == ["unfused"], calls
+        calls.clear()
+        FA.fused_static_q_attention(qs, xkv, None, *args, H, interpret=True)
+        assert calls == ["fused"], calls
+
+    def test_kv_feature_dim_gates_fused(self, rng, monkeypatch):
+        """Cross-attention whose KV stream feature dim is NOT lane-aligned
+        must route unfused even when the q stream's is (ADVICE r3: only
+        wq.shape[0] was checked; a misaligned k/v projection operand is a
+        hardware compile/perf failure class)."""
+        from btia_tpu.ops import fused_attn as FA
+
+        B, Sq, Sk, H, D = 64, 16, 12, 2, 64
+        Din_q, Din_kv = 128, 96  # kv stream NOT a lane multiple
+        mk = lambda *s: jnp.asarray(rng.randn(*s) * 0.05, jnp.float32)
+        args = [mk(Din_q, H * D), mk(H * D), mk(Din_kv, H * D), mk(H * D),
+                mk(Din_kv, H * D), mk(H * D), mk(H * D, Din_q), mk(Din_q)]
+        x_q = jnp.asarray(rng.randn(B, Sq, Din_q), jnp.float32)
+        x_kv = jnp.asarray(rng.randn(B, Sk, Din_kv), jnp.float32)
+        calls = []
+        real_u = FA._unfused
+        monkeypatch.setattr(
+            FA, "_unfused",
+            lambda *a, **k: calls.append("unfused") or real_u(*a, **k),
+        )
+        monkeypatch.setattr(FA, "_resolved_impl", lambda: "pallas")
+        FA.fused_dense_attention(x_q, x_kv, None, *args, H)
+        assert calls == ["unfused"], calls
+
+
+class TestFusedMesh:
+    """Fused kernels under fused_mesh(mesh): the shard_map-partitioned
+    road (batch over 'data', heads over 'model', psum'd output projection)
+    must equal the single-device unfused reference — forward AND backward
+    — on the virtual 8-device mesh [VERDICT r3 #3]."""
+
+    def _mesh(self, data, model):
+        from btia_tpu.parallel.mesh import MeshConfig, make_mesh
+
+        return make_mesh(MeshConfig(data=data, model=model))
+
+    def _params(self, rng, din_q, hd, dout, din_kv=None):
+        mk = lambda *s: jnp.asarray(rng.randn(*s) * 0.05, jnp.float32)
+        din_kv = din_kv or din_q
+        return [mk(din_q, hd), mk(hd), mk(din_kv, hd), mk(hd),
+                mk(din_kv, hd), mk(hd), mk(hd, dout), mk(dout)]
+
+    @pytest.mark.parametrize("dp,tp", [(8, 1), (4, 2), (2, 4)])
+    def test_dense_matches_unfused(self, rng, dp, tp):
+        from btia_tpu.ops import fused_attn as FA
+
+        B, Sq, Sk, H, D, Din = 64, 16, 12, 4, 64, 128
+        args = self._params(rng, Din, H * D, Din)
+        x_q = jnp.asarray(rng.randn(B, Sq, Din), jnp.float32)
+        x_kv = jnp.asarray(rng.randn(B, Sk, Din), jnp.float32)
+        mask = jnp.asarray(rng.rand(B, Sk) > 0.3).at[:, 0].set(True)
+        ref = FA._unfused(x_q, x_kv, mask, *args, num_heads=H)
+        with FA.fused_mesh(self._mesh(dp, tp)):
+            out = FA.fused_dense_attention(
+                x_q, x_kv, mask, *args, H, interpret=True
+            )
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(ref), atol=3e-4
+        )
+
+    @pytest.mark.parametrize("dp,tp", [(8, 1), (4, 2)])
+    def test_staticq_matches_unfused(self, rng, dp, tp):
+        from btia_tpu.ops import fused_attn as FA
+
+        B, K, Sk, H, D, Din = 64, 16, 24, 4, 64, 128
+        args = self._params(rng, Din, H * D, Din)
+        qs = jnp.asarray(rng.randn(K, Din) * 0.05, jnp.float32)
+        xkv = jnp.asarray(rng.randn(B, Sk, Din), jnp.float32)
+        mask = jnp.asarray(rng.rand(B, Sk) > 0.3).at[:, 0].set(True)
+        ref = FA._staticq_unfused(qs, xkv, mask, *args, num_heads=H)
+        with FA.fused_mesh(self._mesh(dp, tp)):
+            out = FA.fused_static_q_attention(
+                qs, xkv, mask, *args, H, interpret=True
+            )
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(ref), atol=3e-4
+        )
+
+    def test_gradients_match_unfused(self, rng):
+        """jax.grad through the shard_map-wrapped custom_vjp (DP4×TP2):
+        the multi-device train step's actual backward road."""
+        from btia_tpu.ops import fused_attn as FA
+
+        B, Sq, Sk, H, D, Din = 64, 8, 8, 4, 64, 128
+        args = self._params(rng, Din, H * D, Din)
+        x_q = jnp.asarray(rng.randn(B, Sq, Din), jnp.float32)
+        x_kv = jnp.asarray(rng.randn(B, Sk, Din), jnp.float32)
+        mask = jnp.asarray(rng.rand(B, Sk) > 0.3).at[:, 0].set(True)
+        mesh = self._mesh(4, 2)
+
+        def loss_mesh(xq, wq, bo):
+            a = [wq] + args[1:7] + [bo]
+            with FA.fused_mesh(mesh):
+                return jnp.sum(
+                    FA.fused_dense_attention(
+                        xq, x_kv, mask, *a, H, interpret=True
+                    )
+                    ** 2
+                )
+
+        def loss_ref(xq, wq, bo):
+            a = [wq] + args[1:7] + [bo]
+            return jnp.sum(FA._unfused(xq, x_kv, mask, *a, num_heads=H) ** 2)
+
+        gm = jax.grad(loss_mesh, argnums=(0, 1, 2))(x_q, args[0], args[7])
+        gr = jax.grad(loss_ref, argnums=(0, 1, 2))(x_q, args[0], args[7])
+        for a, b in zip(gm, gr):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), atol=5e-3, rtol=1e-4
+            )
+
+    def test_undivisible_batch_routes_unfused(self, rng, monkeypatch):
+        """B not divisible by the data axis → the unfused road (which pjit
+        partitions natively), never a broken shard decomposition."""
+        from btia_tpu.ops import fused_attn as FA
+
+        B, Sq, Sk, H, D, Din = 66, 8, 8, 4, 64, 128
+        args = self._params(rng, Din, H * D, Din)
+        x = jnp.asarray(rng.randn(B, Sq, Din), jnp.float32)
+        calls = []
+        real_u = FA._unfused
+        monkeypatch.setattr(
+            FA, "_unfused",
+            lambda *a, **k: calls.append("unfused") or real_u(*a, **k),
+        )
+        with FA.fused_mesh(self._mesh(4, 2)):
+            FA.fused_dense_attention(x, x, None, *args, H, interpret=True)
+        assert calls == ["unfused"], calls
