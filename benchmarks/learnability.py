@@ -78,7 +78,7 @@ def main() -> None:
     ap.add_argument(
         "--ablate",
         default="none",
-        choices=["none", "fusion", "pool", "dtype", "head", "all"],
+        help="comma list of {fusion,pool,dtype,head}, 'all', or 'none'",
     )
     ap.add_argument(
         "--task",
@@ -130,10 +130,15 @@ def main() -> None:
             num_answer_queries=0,
         )
 
+    ablate = (
+        {"fusion", "pool", "dtype", "head"}
+        if args.ablate == "all"
+        else {a for a in args.ablate.split(",") if a and a != "none"}
+    )
     variants = {"base": model0}
-    if args.ablate in ("fusion", "all"):
+    if "fusion" in ablate:
         variants["no_fusion"] = replace(model0, btia_layers=0)
-    if args.ablate in ("pool", "all"):
+    if "pool" in ablate:
         variants["pool"] = replace(
             model0,
             image_encoder="vit_test",
@@ -142,9 +147,9 @@ def main() -> None:
         variants["no_pool"] = replace(
             model0, image_encoder="vit_test", image_pool_grid=0
         )
-    if args.ablate in ("dtype", "all"):
+    if "dtype" in ablate:
         variants["bf16"] = replace(model0, mixed_precision=True)
-    if args.ablate in ("head", "all"):
+    if "head" in ablate:
         variants["ad_head"] = replace(model0, head="ad", num_answer_queries=0)
 
     results: dict = {}

@@ -27,6 +27,7 @@ policy as ops.attention).
 from __future__ import annotations
 
 import functools
+import os as _os
 from typing import Optional
 
 import jax
@@ -60,12 +61,19 @@ _MESH = None  # set by fused_mesh(); routes fused calls through shard_map
 # A/B knobs (VERDICT r3 #7; measured on device, see BENCH_NOTES r4):
 # grid programs are independent across batch blocks, so 'parallel' is
 # semantically valid — whether it beats 'arbitrary' is an empirical
-# Mosaic-scheduling question.
-_DIM_SEMANTICS = "arbitrary"
+# Mosaic-scheduling question. Env-settable so bench.py can A/B the FULL
+# serving step (standalone-site deltas at these sizes sit inside the
+# run-to-run band).
+# Serving-step A/B (2026-08-18, BENCH_NOTES r4): 'parallel' measured
+# inconsistent medians (8,788–9,017 vs default 8,755) — stays arbitrary.
+_DIM_SEMANTICS = _os.environ.get("BTIA_FUSED_DIM_SEMANTICS", "arbitrary")
 # Static-q head kernel batch packing: bb=2 stacks two batch elements'
 # answer-query rows into one block-diagonal program (rows 64→128 = one
 # full MXU sublane tile; k/v projection rows 82→164) at 2× score FLOPs.
-_STATICQ_BB = 1
+# Measured at the FULL serving step: 9,063–9,068 pairs/s vs 8,755 at
+# bb=1 (+3.5%, two tight-band runs) — the default. bb=4 and the
+# 'parallel'+bb2 combination measured no better than bb2 alone.
+_STATICQ_BB = int(_os.environ.get("BTIA_STATICQ_BB", "2"))
 
 
 @contextlib.contextmanager

@@ -137,6 +137,48 @@ class TestShardedServing:
             np.asarray(single), np.asarray(out), atol=3e-4
         )
 
+    def test_fused_kernels_indexed_dedup_match_plain(
+        self, serving_setup, monkeypatch
+    ):
+        """Dedup (indexed) serving with the FUSED kernels engaged under
+        DP4×TP2: unique tower (U rows) and pair fan-out both route through
+        shard_map'd fused calls; must equal the plain fused path."""
+        from btia_tpu.ops import fused_attn as FA
+
+        model, variables, images, qids = serving_setup
+        B, Q, S = qids.shape
+        flat = qids.reshape(B * Q, S)
+        uniq, inv = np.unique(flat, axis=0, return_inverse=True)
+        U = 8
+        while U < len(uniq):
+            U *= 2
+        uniq = np.concatenate(
+            [uniq, np.zeros((U - len(uniq), S), flat.dtype)]
+        )
+        qmap = inv.reshape(B, Q).astype(np.int32)
+
+        orig_dense = FA.fused_dense_attention
+        orig_static = FA.fused_static_q_attention
+        monkeypatch.setattr(
+            FA,
+            "fused_dense_attention",
+            lambda *a, **k: orig_dense(*a, interpret=True, **k),
+        )
+        monkeypatch.setattr(
+            FA,
+            "fused_static_q_attention",
+            lambda *a, **k: orig_static(*a, interpret=True, **k),
+        )
+        mesh = make_mesh(MeshConfig(data=4, model=2))
+        sharded_vars = shard_serving_params(variables, mesh)
+        ref = make_sharded_serve_fn(model, mesh)(sharded_vars, images, qids)
+        out = make_sharded_serve_indexed_fn(model, mesh)(
+            sharded_vars, images, uniq, qmap
+        )
+        np.testing.assert_allclose(
+            np.asarray(ref), np.asarray(out), atol=3e-4
+        )
+
     def test_topk_output(self, serving_setup):
         model, variables, images, qids = serving_setup
         mesh = make_mesh(MeshConfig(data=8, model=1))
