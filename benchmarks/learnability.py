@@ -150,7 +150,15 @@ def main() -> None:
     if "dtype" in ablate:
         variants["bf16"] = replace(model0, mixed_precision=True)
     if "head" in ablate:
-        variants["ad_head"] = replace(model0, head="ad", num_answer_queries=0)
+        # Always the OPPOSITE head of the base, so the arm is a real
+        # ablation: mlp base → ad_head arm; --enhanced-small (ad base)
+        # → classifier arm [VERDICT r3 #6].
+        if model0.head == "ad":
+            variants["classifier"] = replace(model0, head="mlp")
+        else:
+            variants["ad_head"] = replace(
+                model0, head="ad", num_answer_queries=0
+            )
 
     results: dict = {}
     for tag, model in variants.items():
