@@ -88,6 +88,15 @@ def main() -> None:
         "lesions; 'is the {organ} normal' requires question→site routing "
         "(the capability the BTIA block exists for) [VERDICT r3 #6]",
     )
+    ap.add_argument(
+        "--base-head",
+        default=None,
+        choices=["mlp", "ad"],
+        help="override the base arm's answer head (e.g. 'ad' makes the "
+        "base the Enhanced head on a resnet tower, so --ablate "
+        "fusion,head yields the no_fusion and classifier arms of the "
+        "compositional study [VERDICT r3 #6])",
+    )
     args = ap.parse_args()
 
     from btia_tpu.configs import get_config
@@ -128,6 +137,13 @@ def main() -> None:
             btia_layers=2,
             head="ad",
             num_answer_queries=0,
+        )
+
+    if args.base_head is not None:
+        model0 = replace(
+            model0,
+            head=args.base_head,
+            **({"num_answer_queries": 0} if args.base_head == "ad" else {}),
         )
 
     ablate = (
