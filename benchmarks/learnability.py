@@ -89,6 +89,16 @@ def main() -> None:
         "(the capability the BTIA block exists for) [VERDICT r3 #6]",
     )
     ap.add_argument(
+        "--assert-gap",
+        type=float,
+        default=None,
+        metavar="MARGIN",
+        help="after the study, assert base val AND closed beat every "
+        "ablation arm that removes fusion by at least MARGIN (exit 1 "
+        "otherwise) — makes the compositional study a gated, repeatable "
+        "check [VERDICT r3 #6]",
+    )
+    ap.add_argument(
         "--base-head",
         default=None,
         choices=["mlp", "ad"],
@@ -208,6 +218,17 @@ def main() -> None:
         }
 
     print(json.dumps({"blind_best": blind, **results}, indent=2))
+
+    if args.assert_gap is not None and "no_fusion" in results:
+        for metric in ("val_mean", "closed_mean"):
+            gap = results["base"][metric] - results["no_fusion"][metric]
+            if gap < args.assert_gap:
+                print(
+                    f"GAP ASSERTION FAILED: base-no_fusion {metric} gap "
+                    f"{gap:.3f} < required {args.assert_gap:.3f}"
+                )
+                sys.exit(1)
+        print(f"gap assertion passed (margin {args.assert_gap:.3f})")
 
 
 if __name__ == "__main__":
