@@ -47,11 +47,28 @@ class BertLayer(nn.Module):
             dtype=self.policy.accum_dtype,
             param_dtype=self.policy.param_dtype,
         )
-        attn = MultiHeadAttention(s.dim, s.num_heads, self.policy, name="attn")(
-            x, kv_mask=mask
-        )
-        attn = nn.Dropout(self.dropout)(attn, deterministic=deterministic)
-        x = ln("ln_attn")(x + attn).astype(self.policy.compute_dtype)
+        # Site fusion (ops.fused_attn SiteCfg): BERT's post-LN epilogue —
+        # LN(x + attn), eps 1e-12 — folds into the fused attention kernel
+        # when dropout between attention and residual is inactive; the
+        # unfused road applies the identical composition in XLA
+        # (ops.norms.layernorm — same fast-variance f32 formula as
+        # flax.nn.LayerNorm).
+        from btia_tpu.models.layers import LayerNormParams
+        from btia_tpu.ops.norms import layernorm
+
+        ln_attn = LayerNormParams(
+            self.policy.param_dtype, epsilon=s.ln_eps, name="ln_attn"
+        )(s.dim)
+        fuse = deterministic or self.dropout == 0.0
+        mha = MultiHeadAttention(s.dim, s.num_heads, self.policy, name="attn")
+        if fuse:
+            x = mha(x, kv_mask=mask, residual=True, post_ln=ln_attn)
+        else:
+            attn = mha(x, kv_mask=mask)
+            attn = nn.Dropout(self.dropout)(attn, deterministic=deterministic)
+            x = layernorm(x + attn, ln_attn[0], ln_attn[1], s.ln_eps).astype(
+                self.policy.compute_dtype
+            )
         mlp = Mlp(s.dim, s.mlp_dim, self.policy, name="mlp")(
             x, deterministic=deterministic
         )

@@ -44,7 +44,7 @@ class BTIALayer(nn.Module):
         txt_mask: Optional[jax.Array],
         deterministic: bool = True,
     ) -> Tuple[jax.Array, jax.Array]:
-        from btia_tpu.models.layers import DenseParams
+        from btia_tpu.models.layers import DenseParams, LayerNormParams
         from btia_tpu.ops.fused_attn import fused_dense_attention
 
         pd = self.policy.param_dtype
@@ -52,9 +52,20 @@ class BTIALayer(nn.Module):
         params = lambda scope, name, din: DenseParams(
             self.dim, pd, name=f"{scope}_{name}"
         )(din)
-        img_n = LayerNorm(self.policy, name="ln_img")(img).astype(cd)
-        txt_n = LayerNorm(self.policy, name="ln_txt")(txt).astype(cd)
+        # Site fusion (ops.fused_attn SiteCfg): the pre-LNs and the
+        # residual adds fold INTO each direction's fused kernel — the raw
+        # streams are read once and normalized in VMEM, so the standalone
+        # LN ops' and residual adds' HBM round trips disappear. Each LN's
+        # params feed BOTH directions (q-side of one, kv-side of the
+        # other); the unfused road applies the identical composition via
+        # the same ops.norms.layernorm the LayerNorm module uses.
+        ln_img = LayerNormParams(pd, name="ln_img")(img.shape[-1])
+        ln_txt = LayerNormParams(pd, name="ln_txt")(txt.shape[-1])
         di, dt = img.shape[-1], txt.shape[-1]
+        # The in-kernel residual is only the block's `x + attn_out` when
+        # dropout between them is inactive; under train-time dropout the
+        # epilogue stays outside the kernel.
+        fuse_res = deterministic or self.dropout == 0.0
 
         # Each direction runs through ONE fused projection+attention+
         # out-projection Pallas kernel on the serving path (the token
@@ -72,20 +83,26 @@ class BTIALayer(nn.Module):
         wo_i, bo_i = params("i2t", "o_proj", self.dim)
         wo_t, bo_t = params("t2i", "o_proj", self.dim)
 
+        img_c, txt_c = img.astype(cd), txt.astype(cd)
         out_i = fused_dense_attention(
-            img_n, txt_n, txt_mask,
+            img_c, txt_c, txt_mask,
             wq_i, bq_i, wk_t, bk_t, wv_t, bv_t, wo_i, bo_i,
             self.num_heads,
+            q_ln=ln_img, kv_ln=ln_txt, residual=fuse_res,
         )
         out_t = fused_dense_attention(
-            txt_n, img_n, None,
+            txt_c, img_c, None,
             wq_t, bq_t, wk_i, bk_i, wv_i, bv_i, wo_t, bo_t,
             self.num_heads,
+            q_ln=ln_txt, kv_ln=ln_img, residual=fuse_res,
         )
 
         drop = lambda x: nn.Dropout(self.dropout)(x, deterministic=deterministic)
-        img = img + drop(out_i)
-        txt = txt + drop(out_t)
+        if fuse_res:
+            img, txt = out_i, out_t
+        else:
+            img = img + drop(out_i)
+            txt = txt + drop(out_t)
 
         img = img + drop(
             Mlp(

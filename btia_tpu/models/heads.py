@@ -44,7 +44,6 @@ class ADHead(nn.Module):
         token_mask: Optional[jax.Array],  # (B, N) True=valid
         deterministic: bool = True,
     ) -> jax.Array:
-        B = tokens.shape[0]
         K = self.num_queries or self.vocab_size
         queries = self.param(
             "answer_queries",
@@ -52,28 +51,31 @@ class ADHead(nn.Module):
             (K, self.dim),
             self.policy.param_dtype,
         )
-        from btia_tpu.models.layers import DenseParams
+        from btia_tpu.models.layers import DenseParams, LayerNormParams
         from btia_tpu.ops.fused_attn import fused_static_q_attention
 
         cd = self.policy.compute_dtype
         pd = self.policy.param_dtype
-        q_tokens = jnp.broadcast_to(
-            queries[None].astype(cd), (B, K, self.dim)
-        )
-        kv = LayerNorm(self.policy, name="ln_kv")(tokens).astype(cd)
+        # Site fusion (ops.fused_attn SiteCfg): the head's pre-attention
+        # LayerNorm on the fused-token stream and the `queries + attended`
+        # residual fold INTO the kernel — the (B, N, D) stream is read
+        # raw once and normalized in VMEM, and the (K, D) query table
+        # (already resident) adds in the epilogue. The unfused road
+        # applies the identical composition (ops.norms.layernorm).
+        ln_kv = LayerNormParams(pd, name="ln_kv")(tokens.shape[-1])
         params = lambda name, din: DenseParams(self.dim, pd, name=name)(din)
         wq, bq = params("q_proj", self.dim)
-        wk, bk = params("k_proj", kv.shape[-1])
-        wv, bv = params("v_proj", kv.shape[-1])
+        wk, bk = params("k_proj", tokens.shape[-1])
+        wv, bv = params("v_proj", tokens.shape[-1])
         wo, bo = params("o_proj", self.dim)
         # Queries are batch-invariant: the fused serving path projects the
         # (K, D) table once and keeps it VMEM-resident, with k/v/o
         # projections fused into the kernel (ops/fused_attn.py).
-        attended = fused_static_q_attention(
-            queries.astype(cd), kv, token_mask,
+        feats = fused_static_q_attention(
+            queries.astype(cd), tokens.astype(cd), token_mask,
             wq, bq, wk, bk, wv, bv, wo, bo, self.num_heads,
+            kv_ln=ln_kv, residual=True,
         )
-        feats = q_tokens + attended
         feats = feats + Mlp(
             self.dim,
             int(self.dim * self.mlp_ratio),

@@ -62,6 +62,28 @@ class DenseParams(nn.Module):
         return kernel, bias
 
 
+class LayerNormParams(nn.Module):
+    """Parameter-only stand-in for the LayerNorm module: same scope tree
+    ({scale, bias}), same initializers — checkpoints, the torch converter
+    name map, and sharding rules are unchanged — but returns the raw
+    (scale, bias, eps) triple so the caller can fold the normalization
+    into a fused attention kernel's prologue/epilogue (ops.fused_attn
+    SiteCfg) instead of a standalone HBM round trip."""
+
+    param_dtype: jnp.dtype
+    epsilon: float = 1e-6
+
+    @nn.compact
+    def __call__(self, dim: int):
+        scale = self.param(
+            "scale", nn.initializers.ones, (dim,), self.param_dtype
+        )
+        bias = self.param(
+            "bias", nn.initializers.zeros, (dim,), self.param_dtype
+        )
+        return scale, bias, self.epsilon
+
+
 class MultiHeadAttention(nn.Module):
     """Self- or cross-attention over (B, S, D) token streams.
 
@@ -71,6 +93,10 @@ class MultiHeadAttention(nn.Module):
     VMEM-resident (the per-site HBM traffic and custom-call layout
     bridges were the two dominant non-roofline buckets, BENCH_NOTES r3);
     everywhere else it is plain XLA projections + ops.mha_bshd.
+
+    The q_ln/kv_ln/residual/post_ln site arguments fold the surrounding
+    block's LayerNorms and residual add into the kernel (SiteCfg) —
+    callers own those params (LayerNormParams) and pass them through.
     """
 
     dim: int
@@ -84,6 +110,10 @@ class MultiHeadAttention(nn.Module):
         x_q: jax.Array,
         x_kv: Optional[jax.Array] = None,
         kv_mask: Optional[jax.Array] = None,
+        q_ln=None,
+        kv_ln=None,
+        residual: bool = False,
+        post_ln=None,
     ) -> jax.Array:
         from btia_tpu.ops.fused_attn import fused_dense_attention
 
@@ -103,6 +133,10 @@ class MultiHeadAttention(nn.Module):
             kv_mask,
             wq, bq, wk, bk, wv, bv, wo, bo,
             self.num_heads,
+            q_ln=q_ln,
+            kv_ln=kv_ln,
+            residual=residual,
+            post_ln=post_ln,
         )
 
 

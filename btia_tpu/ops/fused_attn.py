@@ -28,7 +28,7 @@ from __future__ import annotations
 
 import functools
 import os as _os
-from typing import Optional
+from typing import NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -46,6 +46,50 @@ from btia_tpu.ops.attention import (
     _round_up,
     mha_bshd,
 )
+from btia_tpu.ops.norms import layernorm
+
+
+class SiteCfg(NamedTuple):
+    """Static per-site fusion config: which LayerNorms / residual adds of
+    the surrounding transformer block fold INTO the fused kernel.
+
+    XLA cannot epilogue-fuse across a custom-call boundary, so every
+    pre-LN materialization and residual add around the fused attention
+    kernels costs full HBM round trips of the (B, S, D) stream (the
+    ~25 ms/step "residual adds/LN" bucket in the canonical serving
+    profile, BENCH_NOTES r3). With the raw stream already VMEM-resident
+    inside the kernel, prologue LN (BTIA's pre-LN, the AD head's kv LN)
+    and epilogue residual+LN (BERT's post-LN, BTIA/AD-head residuals)
+    are free of extra traffic. eps == 0.0 disables a stage."""
+
+    q_ln_eps: float = 0.0  # pre-LN on the query stream (BTIA)
+    kv_ln_eps: float = 0.0  # pre-LN on the kv stream (BTIA, AD head)
+    residual: bool = False  # out += raw x_q (or raw queries, static-q)
+    post_ln_eps: float = 0.0  # out = LN(out) epilogue (BERT post-LN)
+
+    def prologue_only(self) -> "SiteCfg":
+        """Strip the epilogue — required when the kernel emits PARTIAL
+        output-projection products (mesh TP) that are psum'd outside."""
+        return self._replace(residual=False, post_ln_eps=0.0)
+
+
+_PLAIN_SITE = SiteCfg()
+
+
+def _ln_dummy():
+    """Placeholder operand for a disabled LN stage (never read)."""
+    return jnp.zeros((128,), jnp.float32)
+
+
+def _ln_rows(x32, s_ref, b_ref, eps):
+    """f32 row LayerNorm inside the kernel — the exact formula of
+    ops.norms._ln_exact (fast variance, rsqrt) so the fused and unfused
+    roads agree to rounding."""
+    mean = jnp.mean(x32, axis=1, keepdims=True)
+    mean2 = jnp.mean(x32 * x32, axis=1, keepdims=True)
+    var = jnp.maximum(0.0, mean2 - mean * mean)
+    y = (x32 - mean) * jax.lax.rsqrt(var + eps)
+    return y * s_ref[...].astype(jnp.float32) + b_ref[...].astype(jnp.float32)
 
 # The fused kernels are measured and equivalence-tested on the
 # single-device serving path. Under bare pjit with TP-sharded weights,
@@ -131,19 +175,39 @@ def _fused_kernel(
     bk_ref,
     bv_ref,
     bo_ref,
+    qls_ref,
+    qlb_ref,
+    kls_ref,
+    klb_ref,
+    pos_ref,
+    pob_ref,
     o_ref,
     *,
     num_heads,
     bb,
     sq,
     sk,
+    site,
 ):
     hd = wq_ref.shape[1]
     d = hd // num_heads
     cd = xq_ref.dtype
 
-    xq = xq_ref[...].reshape(bb * sq, xq_ref.shape[2])
+    xq_raw = xq_ref[...].reshape(bb * sq, xq_ref.shape[2])
     xkv = xkv_ref[...].reshape(bb * sk, xkv_ref.shape[2])
+    # Prologue LN (site fusion): normalize the raw streams in VMEM — the
+    # separate LN op's HBM read+write disappears, and the residual below
+    # reuses the RAW rows already resident.
+    if site.q_ln_eps:
+        xq = _ln_rows(
+            xq_raw.astype(jnp.float32), qls_ref, qlb_ref, site.q_ln_eps
+        ).astype(cd)
+    else:
+        xq = xq_raw
+    if site.kv_ln_eps:
+        xkv = _ln_rows(
+            xkv.astype(jnp.float32), kls_ref, klb_ref, site.kv_ln_eps
+        ).astype(cd)
 
     # On-chip projections (weights VMEM-resident across the grid). The
     # softmax scale·log2(e) is folded into wq/bq by the wrapper, so the
@@ -196,11 +260,21 @@ def _fused_kernel(
         preferred_element_type=jnp.float32,
     )
     out = (out + bo_ref[...]).astype(o_ref.dtype)
+    # Epilogue (site fusion): residual in compute dtype (matching the
+    # module's historical x + attn_out add), then f32 post-LN — BERT's
+    # post-LN block order LN(x + attn) [models/bert.py].
+    if site.residual:
+        out = xq_raw.astype(o_ref.dtype) + out
+    if site.post_ln_eps:
+        out = _ln_rows(
+            out.astype(jnp.float32), pos_ref, pob_ref, site.post_ln_eps
+        ).astype(o_ref.dtype)
     o_ref[...] = out.reshape(bb, sq, wo_ref.shape[1])
 
 
 def _fused_pallas(
-    x_q, x_kv, colmask, wq, bq, wk, bk, wv, bv, wo, bo, num_heads, interpret
+    x_q, x_kv, colmask, wq, bq, wk, bk, wv, bv, wo, bo, lns, num_heads,
+    interpret, site,
 ):
     B, Sq, Din = x_q.shape
     Sk = x_kv.shape[1]
@@ -209,6 +283,9 @@ def _fused_pallas(
     D = HD // num_heads
     scale = 1.0 / (D**0.5)
     cd = x_q.dtype
+    # (scale, bias) for the q-LN / kv-LN / post-LN stages; disabled
+    # stages carry never-read dummies.
+    lns = tuple(a.astype(jnp.float32).reshape(1, -1) for a in lns)
 
     # Fold scale·log2(e) into the q projection — zero per-token cost.
     c = jnp.float32(scale * _LOG2E)
@@ -233,7 +310,8 @@ def _fused_pallas(
     )
     out = pl.pallas_call(
         functools.partial(
-            _fused_kernel, num_heads=num_heads, bb=bb, sq=Sq, sk=Sk
+            _fused_kernel, num_heads=num_heads, bb=bb, sq=Sq, sk=Sk,
+            site=site,
         ),
         out_shape=jax.ShapeDtypeStruct((Bp, Sq, Dout), cd),
         grid=(Bp // bb,),
@@ -249,7 +327,8 @@ def _fused_pallas(
             ),
         ]
         + [wspec(w) for w in (wq, wk, wv, wo)]
-        + [wspec(b2(b)) for b in (bq, bk, bv, bo)],
+        + [wspec(b2(b)) for b in (bq, bk, bv, bo)]
+        + [wspec(a) for a in lns],
         out_specs=pl.BlockSpec(
             (bb, Sq, Dout), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
         ),
@@ -265,7 +344,7 @@ def _fused_pallas(
             transcendentals=Bp * bb * num_heads * Sq * Sk,
         ),
         interpret=interpret,
-    )(x_q, x_kv, cm, wq, wk, wv, wo, b2(bq), b2(bk), b2(bv), b2(bo))
+    )(x_q, x_kv, cm, wq, wk, wv, wo, b2(bq), b2(bk), b2(bv), b2(bo), *lns)
     return out[:B]
 
 
@@ -292,15 +371,20 @@ def _unfused(x_q, x_kv, kv_mask, wq, bq, wk, bk, wv, bv, wo, bo, num_heads):
     return dense(out, wo, bo)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(11, 12))
-def _fused(x_q, x_kv, kv_mask, wq, bq, wk, bk, wv, bv, wo, bo, num_heads, interpret):
-    colmask = (
+def _colmask(kv_mask, x_kv):
+    return (
         kv_mask.astype(jnp.float32)
         if kv_mask is not None
         else jnp.ones(x_kv.shape[:2], jnp.float32)
     )
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(11, 12))
+def _fused(x_q, x_kv, kv_mask, wq, bq, wk, bk, wv, bv, wo, bo, num_heads, interpret):
+    d = _ln_dummy()
     return _fused_pallas(
-        x_q, x_kv, colmask, wq, bq, wk, bk, wv, bv, wo, bo, num_heads, interpret
+        x_q, x_kv, _colmask(kv_mask, x_kv), wq, bq, wk, bk, wv, bv, wo, bo,
+        (d,) * 6, num_heads, interpret, _PLAIN_SITE,
     )
 
 
@@ -320,31 +404,101 @@ def _fused_bwd(nh, interp, res, g):
 _fused.defvjp(_fused_fwd, _fused_bwd)
 
 
+def _unfused_site(
+    x_q, x_kv, kv_mask, wq, bq, wk, bk, wv, bv, wo, bo,
+    qls, qlb, kls, klb, pos, pob, num_heads, site,
+):
+    """Unfused mirror of the site-fused kernel: the SAME composition the
+    modules historically spelled out (pre-LN → attention → residual →
+    post-LN), via ops.norms.layernorm — the semantics oracle and the vjp
+    rematerialisation for _fused_site."""
+    xq_in = (
+        layernorm(x_q, qls, qlb, site.q_ln_eps) if site.q_ln_eps else x_q
+    )
+    xkv_in = (
+        layernorm(x_kv, kls, klb, site.kv_ln_eps) if site.kv_ln_eps else x_kv
+    )
+    out = _unfused(
+        xq_in, xkv_in, kv_mask, wq, bq, wk, bk, wv, bv, wo, bo, num_heads
+    )
+    if site.residual:
+        out = x_q + out
+    if site.post_ln_eps:
+        out = layernorm(out, pos, pob, site.post_ln_eps)
+    return out
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(17, 18, 19))
+def _fused_site(
+    x_q, x_kv, kv_mask, wq, bq, wk, bk, wv, bv, wo, bo,
+    qls, qlb, kls, klb, pos, pob, num_heads, interpret, site,
+):
+    return _fused_pallas(
+        x_q, x_kv, _colmask(kv_mask, x_kv), wq, bq, wk, bk, wv, bv, wo, bo,
+        (qls, qlb, kls, klb, pos, pob), num_heads, interpret, site,
+    )
+
+
+def _fused_site_fwd(
+    x_q, x_kv, kv_mask, wq, bq, wk, bk, wv, bv, wo, bo,
+    qls, qlb, kls, klb, pos, pob, nh, interp, site,
+):
+    out = _fused_site(
+        x_q, x_kv, kv_mask, wq, bq, wk, bk, wv, bv, wo, bo,
+        qls, qlb, kls, klb, pos, pob, nh, interp, site,
+    )
+    return out, (
+        x_q, x_kv, kv_mask, wq, bq, wk, bk, wv, bv, wo, bo,
+        qls, qlb, kls, klb, pos, pob,
+    )
+
+
+def _fused_site_bwd(nh, interp, site, res, g):
+    x_q, x_kv, kv_mask, *params = res
+    f = lambda xq, xkv, *p: _unfused_site(
+        xq, xkv, kv_mask, *p, num_heads=nh, site=site
+    )
+    _, vjp = jax.vjp(f, x_q, x_kv, *params)
+    grads = vjp(g)
+    return (grads[0], grads[1], None) + tuple(grads[2:])
+
+
+_fused_site.defvjp(_fused_site_fwd, _fused_site_bwd)
+
+
 def _fused_over_mesh(
     x_q, x_kv, kv_mask, wq, bq, wk, bk, wv, bv, wo, bo, num_heads,
-    interpret, mesh, tp,
+    interpret, mesh, tp, lns=None, site=_PLAIN_SITE,
 ):
     """The fused kernel under an explicit shard_map partitioning:
     batch over 'data', heads (q/k/v projection columns) over 'model',
     output projection rows over 'model' with a psum of the partials.
     Each shard runs the proven single-device custom_vjp; pjit never sees
-    an unpartitioned custom call (the round-3 multi-chip hazard)."""
+    an unpartitioned custom call (the round-3 multi-chip hazard).
+
+    Site fusion under TP>1: the prologue LNs stay in-kernel (the feature
+    dim is unsharded), but the epilogue (residual/post-LN) must act on
+    the REASSEMBLED output, so it runs per shard in XLA after the psum."""
     from jax.sharding import PartitionSpec as P
 
-    colmask = (
-        kv_mask.astype(jnp.float32)
-        if kv_mask is not None
-        else jnp.ones(x_kv.shape[:2], jnp.float32)
-    )
+    colmask = _colmask(kv_mask, x_kv)
     nh_shard = num_heads // tp
+    if lns is None:
+        lns = (_ln_dummy(),) * 6
+    kernel_site = site.prologue_only() if tp > 1 else site
 
-    def per_shard(xq, xkv, cm, wq_, bq_, wk_, bk_, wv_, bv_, wo_, bo_):
-        out = _fused(
+    def per_shard(xq, xkv, cm, wq_, bq_, wk_, bk_, wv_, bv_, wo_, bo_,
+                  qls, qlb, kls, klb, pos, pob):
+        out = _fused_site(
             xq, xkv, cm, wq_, bq_, wk_, bk_, wv_, bv_, wo_, bo_,
-            nh_shard, interpret,
+            qls, qlb, kls, klb, pos, pob, nh_shard, interpret, kernel_site,
         )
         if tp > 1:
             out = jax.lax.psum(out, "model")
+            if site.residual:
+                out = xq + out
+            if site.post_ln_eps:
+                out = layernorm(out, pos, pob, site.post_ln_eps)
         return out
 
     fn = jax.shard_map(
@@ -356,6 +510,7 @@ def _fused_over_mesh(
             P(None, "model"), P("model"),
             P(None, "model"), P("model"),
             P("model", None), P(None),
+            P(None), P(None), P(None), P(None), P(None), P(None),
         ),
         out_specs=P("data"),
         check_vma=False,  # custom_vjp inside defeats replication inference
@@ -364,6 +519,7 @@ def _fused_over_mesh(
     return fn(
         x_q, x_kv, colmask, wq, bq, wk, bk, wv, bv, wo,
         (bo.astype(jnp.float32) / tp).astype(bo.dtype),
+        *lns,
     )
 
 
@@ -371,23 +527,33 @@ def _staticq_kernel(
     xkv_ref,
     cmask_ref,
     q2_ref,
+    qraw_ref,
     wk_ref,
     wv_ref,
     wo_ref,
     bk_ref,
     bv_ref,
     bo_ref,
+    kls_ref,
+    klb_ref,
     o_ref,
     *,
     num_heads,
     bb,
     nq,
     sk,
+    site,
 ):
     cd = xkv_ref.dtype
     hd = q2_ref.shape[1]
     d = hd // num_heads
     xkv = xkv_ref[...].reshape(bb * sk, xkv_ref.shape[2])
+    if site.kv_ln_eps:
+        # Prologue LN on the fused-token stream (the AD head's ln_kv) —
+        # in VMEM, so the separate LN op's HBM round trip disappears.
+        xkv = _ln_rows(
+            xkv.astype(jnp.float32), kls_ref, klb_ref, site.kv_ln_eps
+        ).astype(cd)
 
     def proj(x, w_ref, b_ref):
         y = jax.lax.dot_general(
@@ -447,11 +613,19 @@ def _staticq_kernel(
         preferred_element_type=jnp.float32,
     )
     out = (out + bo_ref[...]).astype(o_ref.dtype)
+    if site.residual:
+        # The AD head's feats = queries + attended: the raw (VMEM-
+        # resident) query table adds per packed batch element.
+        qraw = qraw_ref[...].astype(o_ref.dtype)
+        if bb > 1:
+            qraw = jnp.concatenate([qraw] * bb, axis=0)
+        out = qraw + out
     o_ref[...] = out.reshape(bb, nq, wo_ref.shape[1])
 
 
 def _staticq_pallas(
-    queries, x_kv, colmask, wq, bq, wk, bk, wv, bv, wo, bo, num_heads, interpret
+    queries, x_kv, colmask, wq, bq, wk, bk, wv, bv, wo, bo, num_heads,
+    interpret, lns=None, site=_PLAIN_SITE,
 ):
     B, Sk, Din = x_kv.shape
     K = queries.shape[0]
@@ -459,6 +633,9 @@ def _staticq_pallas(
     Dout = wo.shape[1]
     D = HD // num_heads
     cd = x_kv.dtype
+    if lns is None:
+        lns = (_ln_dummy(),) * 2
+    kls, klb = (a.astype(jnp.float32).reshape(1, -1) for a in lns)
 
     # Project the batch-invariant queries ONCE (outside the grid), fold in
     # the softmax scale·log2(e), and keep the result VMEM-resident — the
@@ -488,9 +665,11 @@ def _staticq_pallas(
     wspec = lambda w: pl.BlockSpec(
         w.shape, lambda i: (0,) * w.ndim, memory_space=pltpu.VMEM
     )
+    qraw = queries.astype(cd)
     out = pl.pallas_call(
         functools.partial(
-            _staticq_kernel, num_heads=num_heads, bb=bb, nq=K, sk=Sk
+            _staticq_kernel, num_heads=num_heads, bb=bb, nq=K, sk=Sk,
+            site=site,
         ),
         out_shape=jax.ShapeDtypeStruct((Bp, K, Dout), cd),
         grid=(Bp // bb,),
@@ -502,7 +681,7 @@ def _staticq_pallas(
                 (1, 1, bb * Sk), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
             ),
         ]
-        + [wspec(w) for w in (q2, wk, wv, wo, bk, bv, bo)],
+        + [wspec(w) for w in (q2, qraw, wk, wv, wo, bk, bv, bo, kls, klb)],
         out_specs=pl.BlockSpec(
             (bb, K, Dout), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
         ),
@@ -517,7 +696,7 @@ def _staticq_pallas(
             transcendentals=Bp * bb * num_heads * K * Sk,
         ),
         interpret=interpret,
-    )(x_kv, cm, q2, wk, wv, wo, bk, bv, bo)
+    )(x_kv, cm, q2, qraw, wk, wv, wo, bk, bv, bo, kls, klb)
     return out[:B]
 
 
@@ -525,13 +704,8 @@ def _staticq_pallas(
 def _staticq(
     queries, x_kv, kv_mask, wq, bq, wk, bk, wv, bv, wo, bo, num_heads, interpret
 ):
-    colmask = (
-        kv_mask.astype(jnp.float32)
-        if kv_mask is not None
-        else jnp.ones(x_kv.shape[:2], jnp.float32)
-    )
     return _staticq_pallas(
-        queries, x_kv, colmask, wq, bq, wk, bk, wv, bv, wo, bo,
+        queries, x_kv, _colmask(kv_mask, x_kv), wq, bq, wk, bk, wv, bv, wo, bo,
         num_heads, interpret,
     )
 
@@ -565,29 +739,93 @@ def _staticq_bwd(nh, it, res, g):
 _staticq.defvjp(_staticq_fwd, _staticq_bwd)
 
 
+def _staticq_unfused_site(
+    queries, x_kv, kv_mask, wq, bq, wk, bk, wv, bv, wo, bo, kls, klb,
+    num_heads, site,
+):
+    """Unfused mirror of the site-fused static-q kernel — the AD head's
+    historical composition (ln_kv → broadcast-query attention →
+    queries + attended), models/heads.py."""
+    xkv_in = (
+        layernorm(x_kv, kls, klb, site.kv_ln_eps) if site.kv_ln_eps else x_kv
+    )
+    out = _staticq_unfused(
+        queries, xkv_in, kv_mask, wq, bq, wk, bk, wv, bv, wo, bo, num_heads
+    )
+    if site.residual:
+        B = x_kv.shape[0]
+        out = (
+            jnp.broadcast_to(
+                queries[None].astype(out.dtype), (B,) + queries.shape
+            )
+            + out
+        )
+    return out
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(13, 14, 15))
+def _staticq_site(
+    queries, x_kv, kv_mask, wq, bq, wk, bk, wv, bv, wo, bo, kls, klb,
+    num_heads, interpret, site,
+):
+    return _staticq_pallas(
+        queries, x_kv, _colmask(kv_mask, x_kv), wq, bq, wk, bk, wv, bv,
+        wo, bo, num_heads, interpret, (kls, klb), site,
+    )
+
+
+def _staticq_site_fwd(
+    queries, x_kv, kv_mask, wq, bq, wk, bk, wv, bv, wo, bo, kls, klb,
+    nh, it, site,
+):
+    out = _staticq_site(
+        queries, x_kv, kv_mask, wq, bq, wk, bk, wv, bv, wo, bo, kls, klb,
+        nh, it, site,
+    )
+    return out, (
+        queries, x_kv, kv_mask, wq, bq, wk, bk, wv, bv, wo, bo, kls, klb
+    )
+
+
+def _staticq_site_bwd(nh, it, site, res, g):
+    queries, x_kv, kv_mask, *params = res
+    f = lambda qs, xkv, *p: _staticq_unfused_site(
+        qs, xkv, kv_mask, *p, num_heads=nh, site=site
+    )
+    _, vjp = jax.vjp(f, queries, x_kv, *params)
+    grads = vjp(g)
+    return (grads[0], grads[1], None) + tuple(grads[2:])
+
+
+_staticq_site.defvjp(_staticq_site_fwd, _staticq_site_bwd)
+
+
 def _staticq_over_mesh(
     queries, x_kv, kv_mask, wq, bq, wk, bk, wv, bv, wo, bo, num_heads,
-    interpret, mesh, tp,
+    interpret, mesh, tp, lns=None, site=_PLAIN_SITE,
 ):
     """fused_static_q_attention under shard_map (see _fused_over_mesh):
     the batch-invariant query table replicates; everything else follows
-    the same data/model partitioning."""
+    the same data/model partitioning. Under TP>1 the query residual
+    applies per shard AFTER the psum (kernel outputs are partial)."""
     from jax.sharding import PartitionSpec as P
 
-    colmask = (
-        kv_mask.astype(jnp.float32)
-        if kv_mask is not None
-        else jnp.ones(x_kv.shape[:2], jnp.float32)
-    )
+    colmask = _colmask(kv_mask, x_kv)
     nh_shard = num_heads // tp
+    if lns is None:
+        lns = (_ln_dummy(),) * 2
+    kernel_site = site.prologue_only() if tp > 1 else site
 
-    def per_shard(qs, xkv, cm, wq_, bq_, wk_, bk_, wv_, bv_, wo_, bo_):
-        out = _staticq(
-            qs, xkv, cm, wq_, bq_, wk_, bk_, wv_, bv_, wo_, bo_,
-            nh_shard, interpret,
+    def per_shard(qs, xkv, cm, wq_, bq_, wk_, bk_, wv_, bv_, wo_, bo_,
+                  kls, klb):
+        out = _staticq_site(
+            qs, xkv, cm, wq_, bq_, wk_, bk_, wv_, bv_, wo_, bo_, kls, klb,
+            nh_shard, interpret, kernel_site,
         )
         if tp > 1:
             out = jax.lax.psum(out, "model")
+            if site.residual:
+                out = qs[None].astype(out.dtype) + out
         return out
 
     fn = jax.shard_map(
@@ -599,6 +837,7 @@ def _staticq_over_mesh(
             P(None, "model"), P("model"),
             P(None, "model"), P("model"),
             P("model", None), P(None),
+            P(None), P(None),
         ),
         out_specs=P("data"),
         check_vma=False,
@@ -606,6 +845,7 @@ def _staticq_over_mesh(
     return fn(
         queries, x_kv, colmask, wq, bq, wk, bk, wv, bv, wo,
         (bo.astype(jnp.float32) / tp).astype(bo.dtype),
+        *lns,
     )
 
 
@@ -623,16 +863,33 @@ def fused_static_q_attention(
     bo: jax.Array,
     num_heads: int,
     interpret: bool = False,
+    kv_ln: Optional[Tuple[jax.Array, jax.Array, float]] = None,
+    residual: bool = False,
 ) -> jax.Array:
     """Attention whose queries are a batch-invariant (K, Din) table — the
     AD answer head's answer-query attention [B:5, B:10]. On the fused
     path the query projection happens once (not per batch row) and k/v/o
     projections fuse into the kernel; otherwise the queries broadcast
-    through the plain unfused road (the historical lowering)."""
+    through the plain unfused road (the historical lowering).
+
+    Site fusion (SiteCfg): kv_ln=(scale, bias, eps) folds the head's
+    pre-attention LayerNorm into the kernel prologue; residual=True adds
+    the raw query table to the projected output in-kernel (the head's
+    queries + attended) — both stages otherwise cost full HBM round
+    trips around the custom call."""
     B, Sk, _ = x_kv.shape
     K = queries.shape[0]
     HD = wq.shape[1]
     D = HD // num_heads
+    site = SiteCfg(
+        kv_ln_eps=kv_ln[2] if kv_ln is not None else 0.0,
+        residual=residual,
+    )
+    lns = (
+        (kv_ln[0], kv_ln[1]) if kv_ln is not None else None
+    )
+    if residual:
+        assert wo.shape[1] == queries.shape[1], "residual needs Dout == Din"
     mesh = _MESH
     dp, tp = _mesh_axes(mesh)
     # Under a mesh, the shard decomposition itself must be exact:
@@ -651,17 +908,32 @@ def fused_static_q_attention(
     # disable_fused() is authoritative even over interpret=True requests.
     use_fused = _ENABLED and shardable and (interpret or gates)
     if not use_fused:
-        return _staticq_unfused(
-            queries, x_kv, kv_mask, wq, bq, wk, bk, wv, bv, wo, bo, num_heads
+        if site == _PLAIN_SITE:
+            return _staticq_unfused(
+                queries, x_kv, kv_mask, wq, bq, wk, bk, wv, bv, wo, bo,
+                num_heads,
+            )
+        d = _ln_dummy()
+        kls, klb = lns if lns is not None else (d, d)
+        return _staticq_unfused_site(
+            queries, x_kv, kv_mask, wq, bq, wk, bk, wv, bv, wo, bo,
+            kls, klb, num_heads, site,
         )
     if mesh is None:
-        return _staticq(
+        if site == _PLAIN_SITE:
+            return _staticq(
+                queries, x_kv, kv_mask, wq, bq, wk, bk, wv, bv, wo, bo,
+                num_heads, interpret,
+            )
+        d = _ln_dummy()
+        kls, klb = lns if lns is not None else (d, d)
+        return _staticq_site(
             queries, x_kv, kv_mask, wq, bq, wk, bk, wv, bv, wo, bo,
-            num_heads, interpret,
+            kls, klb, num_heads, interpret, site,
         )
     return _staticq_over_mesh(
         queries, x_kv, kv_mask, wq, bq, wk, bk, wv, bv, wo, bo,
-        num_heads, interpret, mesh, tp,
+        num_heads, interpret, mesh, tp, lns, site,
     )
 
 
@@ -679,17 +951,39 @@ def fused_dense_attention(
     bo: jax.Array,
     num_heads: int,
     interpret: bool = False,
+    q_ln: Optional[Tuple[jax.Array, jax.Array, float]] = None,
+    kv_ln: Optional[Tuple[jax.Array, jax.Array, float]] = None,
+    residual: bool = False,
+    post_ln: Optional[Tuple[jax.Array, jax.Array, float]] = None,
 ) -> jax.Array:
     """q/k/v projection → MHA → output projection, fused where it wins.
 
     x_q: (B, Sq, Din); x_kv: (B, Sk, Din); kv_mask: (B, Sk) True=valid.
     Routing mirrors ops.mha_bshd: the fused Pallas kernel on TPU for
     short sequences at serving batch sizes; plain XLA otherwise.
+
+    Site fusion (SiteCfg): each of q_ln/kv_ln/post_ln is a
+    (scale, bias, eps) tuple folding that LayerNorm into the kernel;
+    residual=True adds the RAW x_q to the projected output in-kernel.
+    Together these express the surrounding transformer block —
+    pre-LN + residual (BTIA/ViT order) or residual + post-LN (BERT
+    order) — without the HBM round trips XLA cannot fuse across the
+    custom-call boundary. The unfused road applies the identical
+    composition in XLA (same layernorm function the modules used), so
+    semantics do not depend on routing.
     """
     B, Sq, _ = x_q.shape
     Sk = x_kv.shape[1]
     HD = wq.shape[1]
     D = HD // num_heads
+    site = SiteCfg(
+        q_ln_eps=q_ln[2] if q_ln is not None else 0.0,
+        kv_ln_eps=kv_ln[2] if kv_ln is not None else 0.0,
+        residual=residual,
+        post_ln_eps=post_ln[2] if post_ln is not None else 0.0,
+    )
+    if residual or post_ln is not None:
+        assert wo.shape[1] == x_q.shape[-1], "epilogue needs Dout == Din_q"
     mesh = _MESH
     dp, tp = _mesh_axes(mesh)
     # Under a mesh, the shard decomposition itself must be exact:
@@ -707,16 +1001,37 @@ def fused_dense_attention(
     )
     # disable_fused() is authoritative even over interpret=True requests.
     use_fused = _ENABLED and shardable and (interpret or gates)
+    if site == _PLAIN_SITE:
+        if not use_fused:
+            return _unfused(
+                x_q, x_kv, kv_mask, wq, bq, wk, bk, wv, bv, wo, bo, num_heads
+            )
+        if mesh is None:
+            return _fused(
+                x_q, x_kv, kv_mask, wq, bq, wk, bk, wv, bv, wo, bo,
+                num_heads, interpret,
+            )
+        return _fused_over_mesh(
+            x_q, x_kv, kv_mask, wq, bq, wk, bk, wv, bv, wo, bo,
+            num_heads, interpret, mesh, tp,
+        )
+    d = _ln_dummy()
+    lns = (
+        *( (q_ln[0], q_ln[1]) if q_ln is not None else (d, d) ),
+        *( (kv_ln[0], kv_ln[1]) if kv_ln is not None else (d, d) ),
+        *( (post_ln[0], post_ln[1]) if post_ln is not None else (d, d) ),
+    )
     if not use_fused:
-        return _unfused(
-            x_q, x_kv, kv_mask, wq, bq, wk, bk, wv, bv, wo, bo, num_heads
+        return _unfused_site(
+            x_q, x_kv, kv_mask, wq, bq, wk, bk, wv, bv, wo, bo,
+            *lns, num_heads, site,
         )
     if mesh is None:
-        return _fused(
+        return _fused_site(
             x_q, x_kv, kv_mask, wq, bq, wk, bk, wv, bv, wo, bo,
-            num_heads, interpret,
+            *lns, num_heads, interpret, site,
         )
     return _fused_over_mesh(
         x_q, x_kv, kv_mask, wq, bq, wk, bk, wv, bv, wo, bo,
-        num_heads, interpret, mesh, tp,
+        num_heads, interpret, mesh, tp, lns, site,
     )

@@ -680,3 +680,335 @@ class TestFusedMesh:
         with FA.fused_mesh(self._mesh(4, 2)):
             FA.fused_dense_attention(x, x, None, *args, H, interpret=True)
         assert calls == ["unfused"], calls
+
+
+class TestSiteFusion:
+    """SiteCfg fusion (ops/fused_attn.py): the surrounding block's
+    pre-LNs, residual add, and post-LN fold INTO the fused kernels.
+    The fused road (interpret) must equal the unfused site composition
+    — which itself is the composition the modules historically spelled
+    out (ops.norms.layernorm + residual in compute dtype) — forward AND
+    backward, single device and under the mesh."""
+
+    def _params(self, rng, din, hd, dout):
+        mk = lambda *s: jnp.asarray(rng.randn(*s) * 0.05, jnp.float32)
+        return [mk(din, hd), mk(hd), mk(din, hd), mk(hd),
+                mk(din, hd), mk(hd), mk(hd, dout), mk(dout)]
+
+    def _lns(self, rng, d):
+        s = jnp.asarray(1.0 + 0.1 * rng.randn(d), jnp.float32)
+        b = jnp.asarray(0.1 * rng.randn(d), jnp.float32)
+        return s, b
+
+    def test_btia_order_matches_unfused(self, rng):
+        """Pre-LN on both streams + residual (BTIA block order)."""
+        from btia_tpu.ops import fused_attn as FA
+
+        B, Sq, Sk, H, D, Din = 64, 16, 12, 2, 64, 128
+        args = self._params(rng, Din, H * D, Din)
+        x_q = jnp.asarray(rng.randn(B, Sq, Din), jnp.float32)
+        x_kv = jnp.asarray(rng.randn(B, Sk, Din), jnp.float32)
+        mask = jnp.asarray(rng.rand(B, Sk) > 0.3).at[:, 0].set(True)
+        qs, qb = self._lns(rng, Din)
+        ks, kb = self._lns(rng, Din)
+        d = FA._ln_dummy()
+        site = FA.SiteCfg(q_ln_eps=1e-6, kv_ln_eps=1e-6, residual=True)
+        out = FA._fused_site(
+            x_q, x_kv, mask, *args, qs, qb, ks, kb, d, d, H, True, site
+        )
+        ref = FA._unfused_site(
+            x_q, x_kv, mask, *args, qs, qb, ks, kb, d, d,
+            num_heads=H, site=site,
+        )
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=3e-4)
+
+    def test_bert_order_matches_unfused(self, rng):
+        """Residual + post-LN epilogue (BERT post-LN block order,
+        eps 1e-12) on self-attention."""
+        from btia_tpu.ops import fused_attn as FA
+
+        B, S, H, D, Din = 64, 16, 2, 64, 128
+        args = self._params(rng, Din, H * D, Din)
+        x = jnp.asarray(rng.randn(B, S, Din), jnp.float32)
+        mask = jnp.asarray(rng.rand(B, S) > 0.3).at[:, 0].set(True)
+        ps, pb = self._lns(rng, Din)
+        d = FA._ln_dummy()
+        site = FA.SiteCfg(residual=True, post_ln_eps=1e-12)
+        out = FA._fused_site(
+            x, x, mask, *args, d, d, d, d, ps, pb, H, True, site
+        )
+        ref = FA._unfused_site(
+            x, x, mask, *args, d, d, d, d, ps, pb, num_heads=H, site=site
+        )
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=3e-4)
+
+    def test_site_gradients_match_unfused(self, rng):
+        """Grads — including wrt the folded LN scale/bias — agree with
+        differentiating the unfused site composition directly."""
+        from btia_tpu.ops import fused_attn as FA
+
+        B, Sq, Sk, H, D, Din = 64, 8, 8, 2, 64, 128
+        args = self._params(rng, Din, H * D, Din)
+        x_q = jnp.asarray(rng.randn(B, Sq, Din), jnp.float32)
+        x_kv = jnp.asarray(rng.randn(B, Sk, Din), jnp.float32)
+        mask = jnp.asarray(rng.rand(B, Sk) > 0.3).at[:, 0].set(True)
+        qs, qb = self._lns(rng, Din)
+        ks, kb = self._lns(rng, Din)
+        ps, pb = self._lns(rng, Din)
+        site = FA.SiteCfg(
+            q_ln_eps=1e-6, kv_ln_eps=1e-6, residual=True, post_ln_eps=1e-12
+        )
+
+        def loss_f(xq, wq, s_q, b_post):
+            a = [wq] + args[1:]
+            return jnp.sum(
+                FA._fused_site(
+                    xq, x_kv, mask, *a, s_q, qb, ks, kb, ps, b_post,
+                    H, True, site
+                ) ** 2
+            )
+
+        def loss_r(xq, wq, s_q, b_post):
+            a = [wq] + args[1:]
+            return jnp.sum(
+                FA._unfused_site(
+                    xq, x_kv, mask, *a, s_q, qb, ks, kb, ps, b_post,
+                    num_heads=H, site=site,
+                ) ** 2
+            )
+
+        gf = jax.grad(loss_f, argnums=(0, 1, 2, 3))(x_q, args[0], qs, pb)
+        gr = jax.grad(loss_r, argnums=(0, 1, 2, 3))(x_q, args[0], qs, pb)
+        for a, b in zip(gf, gr):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), atol=5e-3, rtol=1e-4
+            )
+
+    def test_staticq_site_matches_unfused(self, rng):
+        """AD-head order: kv pre-LN + query-table residual."""
+        from btia_tpu.ops import fused_attn as FA
+
+        B, K, Sk, H, D, Din = 64, 16, 24, 2, 64, 128
+        args = self._params(rng, Din, H * D, Din)
+        qs_tab = jnp.asarray(rng.randn(K, Din) * 0.05, jnp.float32)
+        xkv = jnp.asarray(rng.randn(B, Sk, Din), jnp.float32)
+        mask = jnp.asarray(rng.rand(B, Sk) > 0.3).at[:, 0].set(True)
+        ks, kb = self._lns(rng, Din)
+        site = FA.SiteCfg(kv_ln_eps=1e-6, residual=True)
+        out = FA._staticq_site(
+            qs_tab, xkv, mask, *args, ks, kb, H, True, site
+        )
+        ref = FA._staticq_unfused_site(
+            qs_tab, xkv, mask, *args, ks, kb, num_heads=H, site=site
+        )
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=3e-4)
+
+    @pytest.mark.parametrize("bb", [2, 4])
+    def test_staticq_site_bb_packing_matches(self, rng, bb, monkeypatch):
+        """The packed (bb>1) static-q kernel applies the residual per
+        packed batch element — incl. the non-divisible-B padding path."""
+        from btia_tpu.ops import fused_attn as FA
+
+        B, K, Sk, H, D, Din = 6, 16, 24, 2, 64, 128
+        args = self._params(rng, Din, H * D, Din)
+        qs_tab = jnp.asarray(rng.randn(K, Din) * 0.05, jnp.float32)
+        xkv = jnp.asarray(rng.randn(B, Sk, Din), jnp.float32)
+        mask = jnp.asarray(rng.rand(B, Sk) > 0.3).at[:, 0].set(True)
+        ks, kb = self._lns(rng, Din)
+        site = FA.SiteCfg(kv_ln_eps=1e-6, residual=True)
+        ref = FA._staticq_unfused_site(
+            qs_tab, xkv, mask, *args, ks, kb, num_heads=H, site=site
+        )
+        monkeypatch.setattr(FA, "_STATICQ_BB", bb)
+        out = FA._staticq_site(
+            qs_tab, xkv, mask, *args, ks, kb, H, True, site
+        )
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=3e-4)
+
+    def test_staticq_site_gradients_match_unfused(self, rng):
+        from btia_tpu.ops import fused_attn as FA
+
+        B, K, Sk, H, D, Din = 64, 8, 16, 2, 64, 128
+        args = self._params(rng, Din, H * D, Din)
+        qs_tab = jnp.asarray(rng.randn(K, Din) * 0.05, jnp.float32)
+        xkv = jnp.asarray(rng.randn(B, Sk, Din), jnp.float32)
+        mask = jnp.asarray(rng.rand(B, Sk) > 0.3).at[:, 0].set(True)
+        ks, kb = self._lns(rng, Din)
+        site = FA.SiteCfg(kv_ln_eps=1e-6, residual=True)
+
+        def loss_f(q, xk, s_k):
+            return jnp.sum(
+                FA._staticq_site(
+                    q, xk, mask, *args, s_k, kb, H, True, site
+                ) ** 2
+            )
+
+        def loss_r(q, xk, s_k):
+            return jnp.sum(
+                FA._staticq_unfused_site(
+                    q, xk, mask, *args, s_k, kb, num_heads=H, site=site
+                ) ** 2
+            )
+
+        gf = jax.grad(loss_f, argnums=(0, 1, 2))(qs_tab, xkv, ks)
+        gr = jax.grad(loss_r, argnums=(0, 1, 2))(qs_tab, xkv, ks)
+        for a, b in zip(gf, gr):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), atol=5e-3, rtol=1e-4
+            )
+
+    def test_bf16_site_matches_unfused(self, rng):
+        """Serving dtype: full BTIA-order site fusion in bf16."""
+        from btia_tpu.ops import fused_attn as FA
+
+        B, Sq, Sk, H, D, Din = 64, 16, 12, 2, 64, 128
+        args = self._params(rng, Din, H * D, Din)
+        x_q = jnp.asarray(rng.randn(B, Sq, Din), jnp.bfloat16)
+        x_kv = jnp.asarray(rng.randn(B, Sk, Din), jnp.bfloat16)
+        mask = jnp.asarray(rng.rand(B, Sk) > 0.3).at[:, 0].set(True)
+        qs, qb = self._lns(rng, Din)
+        ks, kb = self._lns(rng, Din)
+        d = FA._ln_dummy()
+        site = FA.SiteCfg(q_ln_eps=1e-6, kv_ln_eps=1e-6, residual=True)
+        out = FA._fused_site(
+            x_q, x_kv, mask, *args, qs, qb, ks, kb, d, d, H, True, site
+        )
+        ref = FA._unfused_site(
+            x_q, x_kv, mask, *args, qs, qb, ks, kb, d, d,
+            num_heads=H, site=site,
+        )
+        np.testing.assert_allclose(
+            np.asarray(out, np.float32), np.asarray(ref, np.float32),
+            atol=0.08, rtol=0.05,
+        )
+
+    def test_wrapper_site_routing_equivalence(self, rng):
+        """The public fused_dense_attention with site kwargs: the fused
+        (interpret) and disable_fused() roads agree — wrapper plumbing of
+        the LN operands is routing-independent."""
+        from btia_tpu.ops import fused_attn as FA
+
+        B, S, H, D, Din = 64, 16, 2, 64, 128
+        args = self._params(rng, Din, H * D, Din)
+        x = jnp.asarray(rng.randn(B, S, Din), jnp.float32)
+        qs, qb = self._lns(rng, Din)
+        ps, pb = self._lns(rng, Din)
+        kw = dict(
+            q_ln=(qs, qb, 1e-6), residual=True, post_ln=(ps, pb, 1e-12)
+        )
+        out = FA.fused_dense_attention(x, x, None, *args, H, interpret=True, **kw)
+        with FA.disable_fused():
+            ref = FA.fused_dense_attention(x, x, None, *args, H, **kw)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=3e-4)
+
+
+class TestSiteFusionMesh:
+    """Site-fused kernels under fused_mesh: the TP>1 epilogue must apply
+    AFTER the output-projection psum (kernel partials), matching the
+    single-device unfused site composition."""
+
+    def _mesh(self, data, model):
+        from btia_tpu.parallel.mesh import MeshConfig, make_mesh
+
+        return make_mesh(MeshConfig(data=data, model=model))
+
+    def _params(self, rng, din, hd, dout):
+        mk = lambda *s: jnp.asarray(rng.randn(*s) * 0.05, jnp.float32)
+        return [mk(din, hd), mk(hd), mk(din, hd), mk(hd),
+                mk(din, hd), mk(hd), mk(hd, dout), mk(dout)]
+
+    @pytest.mark.parametrize("dp,tp", [(8, 1), (4, 2), (2, 4)])
+    def test_dense_site_matches_unfused(self, rng, dp, tp):
+        from btia_tpu.ops import fused_attn as FA
+
+        B, Sq, Sk, H, D, Din = 64, 16, 12, 4, 64, 128
+        args = self._params(rng, Din, H * D, Din)
+        x_q = jnp.asarray(rng.randn(B, Sq, Din), jnp.float32)
+        x_kv = jnp.asarray(rng.randn(B, Sk, Din), jnp.float32)
+        mask = jnp.asarray(rng.rand(B, Sk) > 0.3).at[:, 0].set(True)
+        mk = lambda: (
+            jnp.asarray(1.0 + 0.1 * rng.randn(Din), jnp.float32),
+            jnp.asarray(0.1 * rng.randn(Din), jnp.float32),
+        )
+        qs, qb = mk()
+        ks, kb = mk()
+        ps, pb = mk()
+        d = FA._ln_dummy()
+        site = FA.SiteCfg(
+            q_ln_eps=1e-6, kv_ln_eps=1e-6, residual=True, post_ln_eps=1e-12
+        )
+        ref = FA._unfused_site(
+            x_q, x_kv, mask, *args, qs, qb, ks, kb, ps, pb,
+            num_heads=H, site=site,
+        )
+        with FA.fused_mesh(self._mesh(dp, tp)):
+            out = FA.fused_dense_attention(
+                x_q, x_kv, mask, *args, H, interpret=True,
+                q_ln=(qs, qb, 1e-6), kv_ln=(ks, kb, 1e-6),
+                residual=True, post_ln=(ps, pb, 1e-12),
+            )
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=3e-4)
+
+    @pytest.mark.parametrize("dp,tp", [(8, 1), (4, 2)])
+    def test_staticq_site_matches_unfused(self, rng, dp, tp):
+        from btia_tpu.ops import fused_attn as FA
+
+        B, K, Sk, H, D, Din = 64, 16, 24, 4, 64, 128
+        args = self._params(rng, Din, H * D, Din)
+        qs_tab = jnp.asarray(rng.randn(K, Din) * 0.05, jnp.float32)
+        xkv = jnp.asarray(rng.randn(B, Sk, Din), jnp.float32)
+        mask = jnp.asarray(rng.rand(B, Sk) > 0.3).at[:, 0].set(True)
+        ks = jnp.asarray(1.0 + 0.1 * rng.randn(Din), jnp.float32)
+        kb = jnp.asarray(0.1 * rng.randn(Din), jnp.float32)
+        site = FA.SiteCfg(kv_ln_eps=1e-6, residual=True)
+        ref = FA._staticq_unfused_site(
+            qs_tab, xkv, mask, *args, ks, kb, num_heads=H, site=site
+        )
+        with FA.fused_mesh(self._mesh(dp, tp)):
+            out = FA.fused_static_q_attention(
+                qs_tab, xkv, mask, *args, H, interpret=True,
+                kv_ln=(ks, kb, 1e-6), residual=True,
+            )
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=3e-4)
+
+    def test_dense_site_gradients_match(self, rng):
+        """DP4×TP2 grads through the site-fused shard_map road, incl. the
+        LN params — the multi-device train step's backward."""
+        from btia_tpu.ops import fused_attn as FA
+
+        B, Sq, Sk, H, D, Din = 64, 8, 8, 4, 64, 128
+        args = self._params(rng, Din, H * D, Din)
+        x_q = jnp.asarray(rng.randn(B, Sq, Din), jnp.float32)
+        x_kv = jnp.asarray(rng.randn(B, Sk, Din), jnp.float32)
+        mask = jnp.asarray(rng.rand(B, Sk) > 0.3).at[:, 0].set(True)
+        qs = jnp.asarray(1.0 + 0.1 * rng.randn(Din), jnp.float32)
+        qb = jnp.asarray(0.1 * rng.randn(Din), jnp.float32)
+        d = FA._ln_dummy()
+        site = FA.SiteCfg(q_ln_eps=1e-6, residual=True)
+        mesh = self._mesh(4, 2)
+
+        def loss_mesh(xq, wq, s_q):
+            a = [wq] + args[1:]
+            with FA.fused_mesh(mesh):
+                return jnp.sum(
+                    FA.fused_dense_attention(
+                        xq, x_kv, mask, *a, H, interpret=True,
+                        q_ln=(s_q, qb, 1e-6), residual=True,
+                    ) ** 2
+                )
+
+        def loss_ref(xq, wq, s_q):
+            a = [wq] + args[1:]
+            return jnp.sum(
+                FA._unfused_site(
+                    xq, x_kv, mask, *a, s_q, qb, d, d, d, d,
+                    num_heads=H, site=site,
+                ) ** 2
+            )
+
+        gm = jax.grad(loss_mesh, argnums=(0, 1, 2))(x_q, args[0], qs)
+        gr = jax.grad(loss_ref, argnums=(0, 1, 2))(x_q, args[0], qs)
+        for a, b in zip(gm, gr):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), atol=5e-3, rtol=1e-4
+            )

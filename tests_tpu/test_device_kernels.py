@@ -176,3 +176,121 @@ class TestBicrossOnDevice:
         ri, rt = bicross_reference(qi, ki, vi, qt, kt, vt, mask)
         _close(oi, ri)
         _close(ot, rt)
+
+
+class TestSiteFusionOnDevice:
+    """Site-fused kernels (prologue LN / epilogue residual+post-LN inside
+    the kernel, SiteCfg) at their real serving shapes — Mosaic compile +
+    execute + agreement with the unfused site composition. The f32 row-LN
+    stages add VMEM pressure interpret mode can't measure."""
+
+    def _params(self, rng, din, hd, dout):
+        mk = lambda *s: jnp.asarray(rng.randn(*s) * 0.05, jnp.float32)
+        return [mk(din, hd), mk(hd), mk(din, hd), mk(hd), mk(din, hd),
+                mk(hd), mk(hd, dout), mk(dout)]
+
+    def _lns(self, rng, d):
+        return (
+            jnp.asarray(1.0 + 0.1 * rng.randn(d), jnp.float32),
+            jnp.asarray(0.1 * rng.randn(d), jnp.float32),
+        )
+
+    def test_btia_order(self, rng):
+        """BTIA direction: pre-LN both streams + residual (50×32 cross)."""
+        from btia_tpu.ops import fused_attn as FA
+
+        B, Sq, Sk, H, D, Din = 256, 50, 32, 12, 64, 768
+        p = self._params(rng, Din, H * D, Din)
+        xq, xkv = _bf16(rng, B, Sq, Din), _bf16(rng, B, Sk, Din)
+        mask = jnp.asarray(rng.rand(B, Sk) > 0.3).at[:, 0].set(True)
+        qs, qb = self._lns(rng, Din)
+        ks, kb = self._lns(rng, Din)
+        d = FA._ln_dummy()
+        site = FA.SiteCfg(q_ln_eps=1e-6, kv_ln_eps=1e-6, residual=True)
+        out = jax.jit(
+            lambda a, b: FA._fused_site(
+                a, b, mask, *p, qs, qb, ks, kb, d, d, H, False, site
+            )
+        )(xq, xkv)
+        ref = FA._unfused_site(
+            xq, xkv, mask, *p, qs, qb, ks, kb, d, d, num_heads=H, site=site
+        )
+        _close(out, ref)
+
+    def test_bert_order(self, rng):
+        """BERT self-attention: residual + post-LN (eps 1e-12) epilogue."""
+        from btia_tpu.ops import fused_attn as FA
+
+        B, S, H, D, Din = 256, 32, 12, 64, 768
+        p = self._params(rng, Din, H * D, Din)
+        x = _bf16(rng, B, S, Din)
+        mask = jnp.asarray(rng.rand(B, S) > 0.3).at[:, 0].set(True)
+        ps, pb = self._lns(rng, Din)
+        d = FA._ln_dummy()
+        site = FA.SiteCfg(residual=True, post_ln_eps=1e-12)
+        out = jax.jit(
+            lambda x: FA._fused_site(
+                x, x, mask, *p, d, d, d, d, ps, pb, H, False, site
+            )
+        )(x)
+        ref = FA._unfused_site(
+            x, x, mask, *p, d, d, d, d, ps, pb, num_heads=H, site=site
+        )
+        _close(out, ref)
+
+    def test_staticq_ad_head(self, rng):
+        """AD head: kv pre-LN + query-table residual at the fan-out shape
+        (bb=2 packing default)."""
+        from btia_tpu.ops import fused_attn as FA
+
+        B, K, Sk, H, D, Din = 256, 64, 82, 12, 64, 768
+        p = self._params(rng, Din, H * D, Din)
+        qs_tab = jnp.asarray(rng.randn(K, Din) * 0.05, jnp.float32)
+        xkv = _bf16(rng, B, Sk, Din)
+        mask = jnp.asarray(rng.rand(B, Sk) > 0.3).at[:, 0].set(True)
+        ks, kb = self._lns(rng, Din)
+        site = FA.SiteCfg(kv_ln_eps=1e-6, residual=True)
+        out = jax.jit(
+            lambda t: FA._staticq_site(
+                qs_tab, t, mask, *p, ks, kb, H, False, site
+            )
+        )(xkv)
+        ref = FA._staticq_unfused_site(
+            qs_tab, xkv, mask, *p, ks, kb, num_heads=H, site=site
+        )
+        _close(out, ref)
+
+    def test_site_vjp_on_device(self, rng):
+        """Site-fused custom_vjp backward on hardware under an identical
+        cotangent (see TestFusedMeshOnDevice.test_fused_vjp_on_device for
+        the comparison protocol)."""
+        from btia_tpu.ops import fused_attn as FA
+
+        B, Sq, Sk, H, D, Din = 256, 32, 32, 12, 64, 768
+        p = self._params(rng, Din, H * D, Din)
+        x = _bf16(rng, B, Sq, Din)
+        mask = jnp.asarray(rng.rand(B, Sk) > 0.3).at[:, 0].set(True)
+        qs, qb = self._lns(rng, Din)
+        d = FA._ln_dummy()
+        site = FA.SiteCfg(q_ln_eps=1e-6, residual=True)
+        g = _bf16(rng, B, Sq, Din)
+
+        def f_fused(x, s_q):
+            return FA._fused_site(
+                x, x, mask, *p, s_q, qb, d, d, d, d, H, False, site
+            )
+
+        def f_ref(x, s_q):
+            return FA._unfused_site(
+                x, x, mask, *p, s_q, qb, d, d, d, d, num_heads=H, site=site
+            )
+
+        def grads(f):
+            def run(x, s_q, g):
+                _, vjp = jax.vjp(f, x, s_q)
+                return vjp(g)
+
+            return jax.jit(run)(x, qs, g)
+
+        for a, b in zip(grads(f_fused), grads(f_ref)):
+            _close(a, b)
