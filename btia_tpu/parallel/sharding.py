@@ -81,9 +81,34 @@ def batch_sharding(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(batch: Any, mesh: Mesh) -> Any:
-    """Device_put a host batch with the batch dim sharded over 'data'."""
+    """Device_put a host batch with the batch dim sharded over 'data'.
+
+    Single-process: ``batch`` is the full global batch. Multi-process
+    (a real multi-host slice, jax.process_count() > 1): ``batch`` is
+    this process's LOCAL shard of the global batch — each host feeds
+    only the rows its own devices will hold (global batch dim = sum of
+    local shards, assembled without any cross-host transfer). The data
+    pipeline selects per-host rows by ``jax.process_index()``.
+    """
+    if jax.process_count() > 1:
+        return shard_batch_local(batch, mesh)
     s = batch_sharding(mesh)
     return jax.tree.map(lambda x: jax.device_put(x, s), batch)
+
+
+def shard_batch_local(local_batch: Any, mesh: Mesh) -> Any:
+    """Per-process local batch shards → ONE global array sharded over
+    'data' (multi-host training feed, SURVEY §2.5/§5.8: each host's rows
+    land on its own devices; the gradient psum is the only cross-host
+    traffic)."""
+    from jax.experimental import multihost_utils
+
+    return jax.tree.map(
+        lambda x: multihost_utils.host_local_array_to_global_array(
+            x, mesh, P(DATA_AXIS)
+        ),
+        local_batch,
+    )
 
 
 def shard_chunk(chunk: Any, mesh: Mesh) -> Any:
