@@ -294,3 +294,47 @@ class TestSiteFusionOnDevice:
 
         for a, b in zip(grads(f_fused), grads(f_ref)):
             _close(a, b)
+
+
+class TestQuantLnOnDevice:
+    """The remaining Pallas kernels — the int8 fused-epilogue matmul
+    (serving int8 path, ops/quant.py) and the single-pass LayerNorm
+    (ops/norms.py, kept as a tested alternative) — compile + run on
+    hardware at serving-scale shapes."""
+
+    def test_int8_matmul_gelu_epilogue(self, rng):
+        import functools
+
+        import flax.linen as nn
+
+        from btia_tpu.ops.quant import (
+            int8_matmul_fused,
+            int8_matmul_fused_reference,
+            quantize_weight,
+        )
+
+        M, K, N = 4096, 768, 3072  # the serving Mlp fc1 shape class
+        x = _bf16(rng, M, K)
+        w = jnp.asarray(rng.randn(K, N) * 0.05, jnp.float32)
+        bias = jnp.asarray(rng.randn(N) * 0.1, jnp.float32)
+        w_i8, w_scale = quantize_weight(w)
+        act = functools.partial(nn.gelu, approximate=True)
+        out = jax.jit(
+            lambda x: int8_matmul_fused(
+                x, w_i8, w_scale, bias, act=act, interpret=False
+            )
+        )(x)
+        ref = int8_matmul_fused_reference(x, w_i8, w_scale, bias, act=act)
+        _close(out, ref, atol=0.15)
+
+    def test_layernorm_single_pass(self, rng):
+        from btia_tpu.ops.norms import _layernorm_pallas, _ln_exact
+
+        x = _bf16(rng, 4096, 768)
+        s = jnp.asarray(1.0 + 0.1 * rng.randn(768), jnp.float32)
+        b = jnp.asarray(0.1 * rng.randn(768), jnp.float32)
+        out = jax.jit(
+            lambda x: _layernorm_pallas(x, s, b, 1e-6, interpret=False)
+        )(x)
+        ref = _ln_exact(x, s, b, 1e-6)
+        _close(out, ref)
