@@ -83,10 +83,13 @@ def main() -> None:
     ap.add_argument(
         "--task",
         default="learnable",
-        choices=["learnable", "compositional"],
+        choices=["learnable", "compositional", "largevocab"],
         help="compositional: two organs per image with independent "
         "lesions; 'is the {organ} normal' requires question→site routing "
-        "(the capability the BTIA block exists for) [VERDICT r3 #6]",
+        "(the capability the BTIA block exists for) [VERDICT r3 #6]. "
+        "largevocab: 45 compound attribute answers read off ONE routed "
+        "site among five iid distractor glyphs — the AD head's design "
+        "point [B:9, ROADMAP r4 #1]",
     )
     ap.add_argument(
         "--assert-gap",
@@ -122,6 +125,7 @@ def main() -> None:
         num_images=args.num_images,
         learnable=True,
         compositional=args.task == "compositional",
+        largevocab=args.task == "largevocab",
     )
     blind = blind_best(splits["train"], splits["val"])
     print(

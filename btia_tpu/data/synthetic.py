@@ -138,6 +138,110 @@ def _learnable_qa(
     ]
 
 
+# Large-vocab attribute glyphs (ROADMAP r4 #1 — the AD head's design
+# point is LARGE answer vocabularies [B:9 "large answer vocabulary"]).
+# Every organ site carries an iid glyph described by three factors; the
+# compound answer string "{intensity} {size} {shape}" gives a 45-answer
+# vocabulary whose classes are conjunctions that must be read off ONE
+# routed site while four iid distractor glyphs superpose in any pooled
+# image representation.
+_ATTR_SHAPES = ["dot", "ring", "cross", "bar", "column"]
+_ATTR_SIZES = ["tiny", "small", "large"]
+_ATTR_SIZE_PX = {"tiny": 5.0, "small": 8.0, "large": 11.0}  # at size=128
+_ATTR_INTENSITIES = ["faint", "moderate", "vivid"]
+_ATTR_INTENSITY_FRAC = {"faint": 0.45, "moderate": 0.7, "vivid": 1.0}
+
+
+def _glyph_mask(
+    x: np.ndarray, y: np.ndarray, cx: float, cy: float, shape: str, r: float
+) -> np.ndarray:
+    """Soft-edged [0,1] mask for one glyph (super-gaussians: sharp enough
+    to survive the encoder resize, smooth enough to not alias)."""
+    dx, dy = x - cx, y - cy
+    d2 = dx * dx + dy * dy
+    t = max(2.2, 0.4 * r)  # stroke thickness
+
+    def _bar(along, across, length):
+        return np.exp(-((across / t) ** 4) - ((along / length) ** 8))
+
+    if shape == "dot":
+        return np.exp(-((d2 / (r * r)) ** 4))
+    if shape == "ring":
+        return np.exp(-(((np.sqrt(d2) - r) / (0.55 * t)) ** 2))
+    if shape == "cross":
+        return np.maximum(_bar(dx, dy, 1.3 * r), _bar(dy, dx, 1.3 * r))
+    if shape == "bar":  # horizontal
+        return _bar(dx, dy, 1.5 * r)
+    if shape == "column":  # vertical
+        return _bar(dy, dx, 1.5 * r)
+    raise ValueError(shape)
+
+
+def _largevocab_labels(rng: np.random.RandomState):
+    per_organ = {
+        o: (
+            _ATTR_SHAPES[rng.randint(len(_ATTR_SHAPES))],
+            _ATTR_SIZES[rng.randint(len(_ATTR_SIZES))],
+            _ATTR_INTENSITIES[rng.randint(len(_ATTR_INTENSITIES))],
+        )
+        for o in _ORGANS
+    }
+    modality = _MODALITIES[rng.randint(len(_MODALITIES))]
+    return per_organ, modality
+
+
+def _render_largevocab(
+    rng: np.random.RandomState,
+    per_organ: dict,
+    modality: str,
+    size: int = 128,
+) -> np.ndarray:
+    """All five organ sites rendered, each with an iid attribute glyph —
+    the question's organ slot selects which site's conjunction to read."""
+    bg = _MODALITY_BG[modality] + rng.randn() * 6
+    y, x = np.mgrid[0:size, 0:size].astype(np.float32)
+    img = np.full((size, size), bg, np.float32)
+    img += (x / size - 0.5) * rng.randn() * 8
+
+    target = 255.0 if bg > 128 else 0.0  # glyph contrast direction
+    for organ, (shape, size_word, intensity) in per_organ.items():
+        cx = (_ORGAN_POS[organ][0] + rng.uniform(-0.03, 0.03)) * size
+        cy = (_ORGAN_POS[organ][1] + rng.uniform(-0.03, 0.03)) * size
+        site_r = size * (0.11 + rng.uniform(-0.01, 0.01))
+        d2 = ((x - cx) / site_r) ** 2 + ((y - cy) / site_r) ** 2
+        delta = -70.0 if bg > 128 else 70.0
+        img += delta * np.exp(-d2 / 2.0)
+
+        r = _ATTR_SIZE_PX[size_word] * (size / 128.0) * rng.uniform(0.92, 1.08)
+        gx = cx + rng.uniform(-0.12, 0.12) * site_r
+        gy = cy + rng.uniform(-0.12, 0.12) * site_r
+        w = _glyph_mask(x, y, gx, gy, shape, r)
+        alpha = _ATTR_INTENSITY_FRAC[intensity]
+        img = img * (1 - w * alpha) + target * w * alpha
+
+    img += rng.randn(size, size) * 4
+    g = np.clip(img, 0, 255).astype(np.uint8)
+    return np.repeat(g[:, :, None], 3, axis=2)
+
+
+def _largevocab_qa(rng: np.random.RandomState, per_organ: dict):
+    """Two routed questions per image; the answer is the asked site's
+    attribute conjunction — vocab = 3 intensities × 3 sizes × 5 shapes
+    = 45 compound answers, all OPEN."""
+    i, j = rng.choice(len(_ORGANS), size=2, replace=False)
+    out = []
+    for organ in (_ORGANS[i], _ORGANS[j]):
+        shape, size_word, intensity = per_organ[organ]
+        out.append(
+            (
+                f"what abnormality is in the {organ}",
+                f"{intensity} {size_word} {shape}",
+                "OPEN",
+            )
+        )
+    return out
+
+
 def _compositional_labels(rng: np.random.RandomState):
     """Two DISTINCT organs, each independently abnormal — the question
     must SELECT which organ's site to inspect [VERDICT r3 #6]."""
@@ -182,6 +286,7 @@ def generate_synthetic_dataset(
     learnable: bool = False,
     val_frac: float = 0.25,
     compositional: bool = False,
+    largevocab: bool = False,
 ) -> Dict[str, List[VQASample]]:
     """Write a VQA-RAD-format corpus (JPEGs + 1 DICOM + JSON) and load it.
 
@@ -200,8 +305,14 @@ def generate_synthetic_dataset(
     normal' requires routing the question's organ slot to that organ's
     image site [VERDICT r3 #6] — the task the BTIA fusion block exists
     for. Plane is fixed axial (round structures never overlap).
+
+    largevocab=True (implies learnable splits): all FIVE organ sites
+    carry iid attribute glyphs; 'what abnormality is in the {organ}'
+    has a 45-answer compound vocabulary ({intensity} {size} {shape}) —
+    the AD head's design point [B:9, ROADMAP r4 #1]. Four distractor
+    glyphs per image make any pooled image read a superposition.
     """
-    if compositional:
+    if compositional or largevocab:
         learnable = True
     if root is None:
         root = Path(tempfile.gettempdir()) / f"btia_synth_{seed}_{num_images}"
@@ -213,7 +324,10 @@ def generate_synthetic_dataset(
     n_train_imgs = num_images - max(1, int(round(num_images * val_frac)))
     items = []
     for i in range(num_images):
-        if compositional:
+        if largevocab:
+            per_organ, modality = _largevocab_labels(rng)
+            arr = _render_largevocab(rng, per_organ, modality)
+        elif compositional:
             o1, a1, o2, a2, modality = _compositional_labels(rng)
             arr = _render_learnable(
                 rng, o1, modality, "axial", a1, second=(o2, a2)
@@ -235,7 +349,9 @@ def generate_synthetic_dataset(
             name = f"synpic{i}.jpg"
             Image.fromarray(arr).save(img_dir / name, quality=92)
 
-        if compositional:
+        if largevocab:
+            qa = _largevocab_qa(rng, per_organ)[:qa_per_image]
+        elif compositional:
             qa = _compositional_qa(o1, a1, o2, a2, modality)[:qa_per_image]
         elif learnable:
             qa = _learnable_qa(rng, organ, modality, plane, abnormal)[

@@ -75,6 +75,48 @@ class TestLearnability:
         )
 
 
+class TestLargeVocab:
+    """Corpus invariants for the large-vocab attribute task (ROADMAP r4
+    #1 — the AD head's design point is large answer vocabularies [B:9]).
+    The two-arm AD-vs-classifier study lives in benchmarks/learnability.py
+    --task largevocab; results in BENCH_NOTES.md."""
+
+    @pytest.fixture(scope="class")
+    def corpus(self, tmp_path_factory):
+        root = tmp_path_factory.mktemp("largevocab")
+        splits = generate_synthetic_dataset(
+            root, num_images=240, largevocab=True
+        )
+        return root, splits
+
+    def test_vocab_is_large_and_blind_is_weak(self, corpus):
+        _, splits = corpus
+        answers = {s.answer for s in splits["train"]}
+        # 3 intensities x 3 sizes x 5 shapes; 240 images x 2 routed QA
+        # draw nearly all 45 conjunctions.
+        assert len(answers) >= 40, f"only {len(answers)} distinct answers"
+        for a in answers:
+            intensity, size_word, shape = a.split()
+            assert intensity in synthetic._ATTR_INTENSITIES
+            assert size_word in synthetic._ATTR_SIZES
+            assert shape in synthetic._ATTR_SHAPES
+        blind = blind_best_accuracy(
+            splits["train"],
+            splits["val"],
+            set(synthetic._ORGANS),
+        )
+        assert blind < 0.15, f"blind-best {blind:.3f} too strong for V=45"
+
+    def test_questions_route_to_distinct_sites(self, corpus):
+        _, splits = corpus
+        by_img: dict = {}
+        for s in splits["train"] + splits["val"]:
+            assert s.question.startswith("what abnormality is in the ")
+            by_img.setdefault(s.image_path, []).append(s.question.split()[-1])
+        for organs in by_img.values():
+            assert len(organs) == 2 and organs[0] != organs[1], organs
+
+
 class TestCompositional:
     """Gate for VERDICT r3 #6: the compositional corpus (two organs per
     image, independent lesions) requires routing the question's organ
