@@ -68,6 +68,23 @@ def main() -> None:
     ap.add_argument("--num-images", type=int, default=160)
     ap.add_argument("--image-encoder", default="resnet_tiny")
     ap.add_argument(
+        "--encoder-lr-scale",
+        type=float,
+        default=None,
+        help="override TrainConfig.encoder_lr_scale (default 0.1 is "
+        "meant for PRETRAINED encoders; from-scratch synthetic studies "
+        "whose task needs real visual features — e.g. largevocab glyph "
+        "attributes — should train the encoder at full LR, 1.0)",
+    )
+    ap.add_argument(
+        "--batch-size",
+        type=int,
+        default=None,
+        help="override tiny_test's batch 8 (eval batch becomes "
+        "max(batch, 64)) — needed for launch-overhead-bound TPU studies "
+        "on larger corpora",
+    )
+    ap.add_argument(
         "--enhanced-small",
         action="store_true",
         help="shrunk Enhanced stack (vit_test + 2-layer BERT + 2 BTIA "
@@ -195,6 +212,19 @@ def main() -> None:
         per_seed = []
         for seed in range(args.seeds):
             train = replace(base.train, epochs=args.epochs, seed=seed)
+            if args.encoder_lr_scale is not None:
+                train = replace(
+                    train, encoder_lr_scale=args.encoder_lr_scale
+                )
+            if args.batch_size is not None:
+                # Bigger corpora on the tunneled TPU are launch-overhead
+                # bound at tiny_test's batch 8 (~40 ms/program); a larger
+                # batch keeps the study wall-clock practical there.
+                train = replace(
+                    train,
+                    batch_size=args.batch_size,
+                    eval_batch_size=max(args.batch_size, 64),
+                )
             cfg = Config(
                 name=f"learn_{tag}_s{seed}",
                 model=model,
