@@ -68,6 +68,13 @@ def main() -> None:
     ap.add_argument("--num-images", type=int, default=160)
     ap.add_argument("--image-encoder", default="resnet_tiny")
     ap.add_argument(
+        "--lr",
+        type=float,
+        default=None,
+        help="override TrainConfig.lr (2e-4 suits finetuning; "
+        "from-scratch tiny towers on hard synthetic tasks need ~1e-3)",
+    )
+    ap.add_argument(
         "--encoder-lr-scale",
         type=float,
         default=None,
@@ -153,6 +160,11 @@ def main() -> None:
 
     base = get_config("tiny_test")
     model0 = replace(base.model, image_encoder=args.image_encoder)
+    if args.task == "largevocab":
+        # tiny_test's answer_vocab_size=32 would fold a third of the
+        # 45-answer vocabulary into <unk> — label noise plus a hard
+        # ~0.69 accuracy ceiling. Size the head for the task.
+        model0 = replace(model0, answer_vocab_size=64)
     if args.image_encoder == "vit_test":
         model0 = replace(model0, image_pool_grid=0)
     if args.enhanced_small:
@@ -212,6 +224,8 @@ def main() -> None:
         per_seed = []
         for seed in range(args.seeds):
             train = replace(base.train, epochs=args.epochs, seed=seed)
+            if args.lr is not None:
+                train = replace(train, lr=args.lr)
             if args.encoder_lr_scale is not None:
                 train = replace(
                     train, encoder_lr_scale=args.encoder_lr_scale

@@ -147,9 +147,16 @@ def _learnable_qa(
 # image representation.
 _ATTR_SHAPES = ["dot", "ring", "cross", "bar", "column"]
 _ATTR_SIZES = ["tiny", "small", "large"]
-_ATTR_SIZE_PX = {"tiny": 5.0, "small": 8.0, "large": 11.0}  # at size=128
+# Calibrated for learnability at encoder resolution: a 96px ViT input
+# sees these at 0.75x, and the first cut (5/8/11 px, alpha 0.45/0.7/1.0)
+# measured UNLEARNABLE (val pinned at the 0.017 blind baseline for 40
+# epochs across three encoder/LR configs — rings collapse into dots
+# below ~5px post-resize and adjacent alphas sit within the rendering
+# noise). 7/10/14 px keeps "large" glyphs inside the ~14px organ site
+# (sites are >=28px apart) while every factor pair stays separable.
+_ATTR_SIZE_PX = {"tiny": 7.0, "small": 10.0, "large": 14.0}  # at size=128
 _ATTR_INTENSITIES = ["faint", "moderate", "vivid"]
-_ATTR_INTENSITY_FRAC = {"faint": 0.45, "moderate": 0.7, "vivid": 1.0}
+_ATTR_INTENSITY_FRAC = {"faint": 0.35, "moderate": 0.65, "vivid": 1.0}
 
 
 def _glyph_mask(
@@ -159,7 +166,8 @@ def _glyph_mask(
     to survive the encoder resize, smooth enough to not alias)."""
     dx, dy = x - cx, y - cy
     d2 = dx * dx + dy * dy
-    t = max(2.2, 0.4 * r)  # stroke thickness
+    t = max(2.0, 0.35 * r)  # stroke thickness (thin enough that a
+    # "tiny" ring keeps a visible hole after the encoder resize)
 
     def _bar(along, across, length):
         return np.exp(-((across / t) ** 4) - ((along / length) ** 8))
