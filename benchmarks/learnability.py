@@ -233,11 +233,13 @@ def main() -> None:
             if args.batch_size is not None:
                 # Bigger corpora on the tunneled TPU are launch-overhead
                 # bound at tiny_test's batch 8 (~40 ms/program); a larger
-                # batch keeps the study wall-clock practical there.
+                # batch keeps the study wall-clock practical there. Only
+                # RAISE eval_batch_size (never shrink a small train batch
+                # into a surprise eval-batch bump — ADVICE r4).
                 train = replace(
                     train,
                     batch_size=args.batch_size,
-                    eval_batch_size=max(args.batch_size, 64),
+                    eval_batch_size=max(args.batch_size, train.eval_batch_size),
                 )
             cfg = Config(
                 name=f"learn_{tag}_s{seed}",

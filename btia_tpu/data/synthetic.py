@@ -160,10 +160,24 @@ _ATTR_INTENSITY_FRAC = {"faint": 0.35, "moderate": 0.65, "vivid": 1.0}
 
 
 def _glyph_mask(
-    x: np.ndarray, y: np.ndarray, cx: float, cy: float, shape: str, r: float
+    x: np.ndarray,
+    y: np.ndarray,
+    cx: float,
+    cy: float,
+    shape: str,
+    r: float,
+    max_len: float = 1e9,
 ) -> np.ndarray:
     """Soft-edged [0,1] mask for one glyph (super-gaussians: sharp enough
-    to survive the encoder resize, smooth enough to not alias)."""
+    to survive the encoder resize, smooth enough to not alias).
+
+    ``max_len`` clamps the elongated shapes' half-length so a 'large'
+    bar/cross/column cannot reach a neighboring organ site (ADVICE r4):
+    with max_len = 14·(size/128), site jitter ±0.02 and glyph offset
+    ±0.06·site_r, the worst-case midpoint between two adjacent glyph
+    centers (≥32.9 px apart) sees mask ≤ e^-((16.4/14)^8) ≈ 0.03 —
+    below the σ=4 sensor noise, so cross-site contamination is bounded
+    by the noise floor rather than merely rare."""
     dx, dy = x - cx, y - cy
     d2 = dx * dx + dy * dy
     t = max(2.0, 0.35 * r)  # stroke thickness (thin enough that a
@@ -177,11 +191,14 @@ def _glyph_mask(
     if shape == "ring":
         return np.exp(-(((np.sqrt(d2) - r) / (0.55 * t)) ** 2))
     if shape == "cross":
-        return np.maximum(_bar(dx, dy, 1.3 * r), _bar(dy, dx, 1.3 * r))
+        return np.maximum(
+            _bar(dx, dy, min(1.3 * r, max_len)),
+            _bar(dy, dx, min(1.3 * r, max_len)),
+        )
     if shape == "bar":  # horizontal
-        return _bar(dx, dy, 1.5 * r)
+        return _bar(dx, dy, min(1.5 * r, max_len))
     if shape == "column":  # vertical
-        return _bar(dy, dx, 1.5 * r)
+        return _bar(dy, dx, min(1.5 * r, max_len))
     raise ValueError(shape)
 
 
@@ -213,17 +230,20 @@ def _render_largevocab(
 
     target = 255.0 if bg > 128 else 0.0  # glyph contrast direction
     for organ, (shape, size_word, intensity) in per_organ.items():
-        cx = (_ORGAN_POS[organ][0] + rng.uniform(-0.03, 0.03)) * size
-        cy = (_ORGAN_POS[organ][1] + rng.uniform(-0.03, 0.03)) * size
+        # Jitters tightened vs the learnable corpus (±0.03 site, ±0.12
+        # glyph) so elongated 'large' glyphs stay clear of neighboring
+        # sites — see the contamination bound in _glyph_mask.
+        cx = (_ORGAN_POS[organ][0] + rng.uniform(-0.02, 0.02)) * size
+        cy = (_ORGAN_POS[organ][1] + rng.uniform(-0.02, 0.02)) * size
         site_r = size * (0.11 + rng.uniform(-0.01, 0.01))
         d2 = ((x - cx) / site_r) ** 2 + ((y - cy) / site_r) ** 2
         delta = -70.0 if bg > 128 else 70.0
         img += delta * np.exp(-d2 / 2.0)
 
         r = _ATTR_SIZE_PX[size_word] * (size / 128.0) * rng.uniform(0.92, 1.08)
-        gx = cx + rng.uniform(-0.12, 0.12) * site_r
-        gy = cy + rng.uniform(-0.12, 0.12) * site_r
-        w = _glyph_mask(x, y, gx, gy, shape, r)
+        gx = cx + rng.uniform(-0.06, 0.06) * site_r
+        gy = cy + rng.uniform(-0.06, 0.06) * site_r
+        w = _glyph_mask(x, y, gx, gy, shape, r, max_len=14.0 * size / 128.0)
         alpha = _ATTR_INTENSITY_FRAC[intensity]
         img = img * (1 - w * alpha) + target * w * alpha
 
@@ -233,12 +253,15 @@ def _render_largevocab(
 
 
 def _largevocab_qa(rng: np.random.RandomState, per_organ: dict):
-    """Two routed questions per image; the answer is the asked site's
-    attribute conjunction — vocab = 3 intensities × 3 sizes × 5 shapes
-    = 45 compound answers, all OPEN."""
-    i, j = rng.choice(len(_ORGANS), size=2, replace=False)
+    """Four routed questions per image (distinct organs); the answer is
+    the asked site's attribute conjunction — vocab = 3 intensities ×
+    3 sizes × 5 shapes = 45 compound answers, all OPEN. Four reads per
+    render (vs the original two) doubles the routing supervision each
+    image provides, which the from-scratch encoder needs to generalize
+    glyph attributes to unseen images."""
+    idx = rng.choice(len(_ORGANS), size=4, replace=False)
     out = []
-    for organ in (_ORGANS[i], _ORGANS[j]):
+    for organ in (_ORGANS[i] for i in idx):
         shape, size_word, intensity = per_organ[organ]
         out.append(
             (

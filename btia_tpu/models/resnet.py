@@ -26,6 +26,12 @@ STAGE_SIZES = {  # torchvision layer multiplicities
     "resnet50": (3, 4, 6, 3),
     "resnet101": (3, 4, 23, 3),
     "resnet_tiny": (1, 1, 1, 1),  # tests/CI only
+    # 3-stage variant (16× downsample, 1024-d): an 8×8 token grid at
+    # 128 px — CNN texture bias with enough spatial resolution for the
+    # routed-attribute synthetic studies (resnet_tiny's 2×2 grid cannot
+    # separate the five organ sites; a from-scratch vit_test lacks the
+    # inductive bias to read sub-patch glyph attributes).
+    "resnet_small": (1, 1, 1),
 }
 
 

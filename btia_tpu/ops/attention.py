@@ -22,6 +22,7 @@ Design notes (TPU-first, see /opt/skills/guides/pallas_guide.md):
 from __future__ import annotations
 
 import functools
+import os
 from typing import Optional
 
 import jax
@@ -538,7 +539,10 @@ _fanout_mha.defvjp(_fanout_fwd, _fanout_bwd)
 # The fan-out kernel wins only when the batch is large enough to amortize
 # its grid and the sequences are short enough to pack; below this batch the
 # XLA einsum path stays (e.g. training at batch 16-64 on CPU fixtures).
-_FANOUT_MIN_BATCH = 64
+# Env-settable for the dedup-tower A/B [VERDICT r4 #4]: the dedup serving
+# path encodes only U unique questions, so a template pool smaller than
+# 64·dp runs its BERT tower unfused at the default floor.
+_FANOUT_MIN_BATCH = int(os.environ.get("BTIA_FANOUT_MIN_BATCH", "64"))
 
 
 # ---------------------------------------------------------------------------

@@ -118,6 +118,19 @@ _DIM_SEMANTICS = _os.environ.get("BTIA_FUSED_DIM_SEMANTICS", "arbitrary")
 # bb=1 (+3.5%, two tight-band runs) — the default. bb=4 and the
 # 'parallel'+bb2 combination measured no better than bb2 alone.
 _STATICQ_BB = int(_os.environ.get("BTIA_STATICQ_BB", "2"))
+# Head-loop emission order inside _fused_kernel [VERDICT r4 #3a — the
+# ~2.5 ms/call softmax-phase MXU idle in the BERT fused calls]:
+#   'interleaved' — score→softmax→PV per head (historical order);
+#   'lookahead'   — emit head h+1's score matmul BEFORE head h's
+#                   softmax/PV, so an MXU op always sits between VPU
+#                   phases in program order (two explicit streams);
+#   'phased'      — all score matmuls, one stacked softmax, all PVs
+#                   (the r3 *unfused* phase-separated variant lost; with
+#                   operands VMEM-resident the trade differs — measured
+#                   per BENCH_NOTES).
+# Same dataflow DAG in all three — only the emission order presented to
+# Mosaic's scheduler changes; numerics identical.
+_FUSED_SCHEDULE = _os.environ.get("BTIA_FUSED_SCHEDULE", "interleaved")
 
 
 @contextlib.contextmanager
@@ -231,16 +244,21 @@ def _fused_kernel(
     cols_b = jax.lax.broadcasted_iota(jnp.int32, (bb * sq, bb * sk), 1) // sk
     mask = jnp.where(rows_b == cols_b, cmask_ref[0, 0], 0.0)
     neg_bias = (1.0 - mask) * 1e9
-    outs = []
-    for h in range(num_heads):
+
+    def head_score(h):
         sl = slice(h * d, (h + 1) * d)
-        s = jax.lax.dot_general(
-            q[:, sl],
-            k[:, sl],
-            dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
+        return (
+            jax.lax.dot_general(
+                q[:, sl],
+                k[:, sl],
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            - neg_bias
         )
-        s = s - neg_bias
+
+    def head_pv(h, s):
+        sl = slice(h * d, (h + 1) * d)
         m = jnp.max(s, axis=-1, keepdims=True)
         e = jnp.exp2(s - m) * mask
         denom = jnp.maximum(jnp.sum(e, axis=-1, keepdims=True), 1e-30)
@@ -250,7 +268,24 @@ def _fused_kernel(
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
-        outs.append((acc / denom).astype(cd))
+        return (acc / denom).astype(cd)
+
+    # Emission-order A/B [VERDICT r4 #3a]: same DAG, different schedule
+    # hint — see _FUSED_SCHEDULE.
+    outs = []
+    if _FUSED_SCHEDULE == "phased":
+        scores = [head_score(h) for h in range(num_heads)]
+        outs = [head_pv(h, scores[h]) for h in range(num_heads)]
+    elif _FUSED_SCHEDULE == "lookahead":
+        s_next = head_score(0)
+        for h in range(num_heads):
+            s_cur = s_next
+            if h + 1 < num_heads:
+                s_next = head_score(h + 1)
+            outs.append(head_pv(h, s_cur))
+    else:
+        for h in range(num_heads):
+            outs.append(head_pv(h, head_score(h)))
     attn = jnp.concatenate(outs, axis=-1)
 
     out = jax.lax.dot_general(

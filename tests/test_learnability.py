@@ -42,6 +42,7 @@ class TestLearnability:
         )
         assert blind < 0.50, f"blind-best {blind:.3f} too strong"
 
+    @pytest.mark.slow
     def test_val_accuracy_beats_blind(self, corpus):
         """Short training run generalizes to UNSEEN images well above the
         blind bound. Calibration: the full 400-image study reaches val
@@ -92,7 +93,7 @@ class TestLargeVocab:
     def test_vocab_is_large_and_blind_is_weak(self, corpus):
         _, splits = corpus
         answers = {s.answer for s in splits["train"]}
-        # 3 intensities x 3 sizes x 5 shapes; 240 images x 2 routed QA
+        # 3 intensities x 3 sizes x 5 shapes; 240 images x 4 routed QA
         # draw nearly all 45 conjunctions.
         assert len(answers) >= 40, f"only {len(answers)} distinct answers"
         for a in answers:
@@ -114,7 +115,7 @@ class TestLargeVocab:
             assert s.question.startswith("what abnormality is in the ")
             by_img.setdefault(s.image_path, []).append(s.question.split()[-1])
         for organs in by_img.values():
-            assert len(organs) == 2 and organs[0] != organs[1], organs
+            assert len(organs) == 4 and len(set(organs)) == 4, organs
 
 
 class TestCompositional:
@@ -156,6 +157,7 @@ class TestCompositional:
         for organs in by_img.values():
             assert len(organs) == 2 and organs[0] != organs[1], organs
 
+    @pytest.mark.slow
     def test_fusion_learns_routing(self, corpus):
         """The Enhanced arm (BTIA fusion on) learns the routed questions
         at test scale. The no-fusion arm caps at 0.650 val / 0.683
