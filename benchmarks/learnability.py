@@ -92,6 +92,28 @@ def main() -> None:
         "on larger corpora",
     )
     ap.add_argument(
+        "--hidden-dim",
+        type=int,
+        default=None,
+        help="override tiny_test's fusion width 64 — the largevocab task "
+        "(45 conjunction classes read through a 1024→hidden projection) "
+        "is capacity-bound at 64: the r5 pilot memorized train (acc "
+        "rising) with val pinned at blind for 40 epochs",
+    )
+    ap.add_argument(
+        "--btia-layers",
+        type=int,
+        default=None,
+        help="override the base arm's BTIA depth (tiny_test: 1)",
+    )
+    ap.add_argument(
+        "--lstm-hidden",
+        type=int,
+        default=None,
+        help="override lstm_hidden AND word_embed_dim together (the "
+        "question tower's width)",
+    )
+    ap.add_argument(
         "--enhanced-small",
         action="store_true",
         help="shrunk Enhanced stack (vit_test + 2-layer BERT + 2 BTIA "
@@ -180,6 +202,17 @@ def main() -> None:
             btia_layers=2,
             head="ad",
             num_answer_queries=0,
+        )
+
+    if args.hidden_dim is not None:
+        model0 = replace(model0, hidden_dim=args.hidden_dim)
+    if args.btia_layers is not None:
+        model0 = replace(model0, btia_layers=args.btia_layers)
+    if args.lstm_hidden is not None:
+        model0 = replace(
+            model0,
+            lstm_hidden=args.lstm_hidden,
+            word_embed_dim=args.lstm_hidden,
         )
 
     if args.base_head is not None:

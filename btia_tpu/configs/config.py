@@ -23,6 +23,7 @@ IMAGE_ENCODERS = {
     "vit_l336": (1024, 336, 577),  # 576 patches + CLS, patch 14 [B:11]
     "resnet_tiny": (2048, 64, 4),  # 1-block stages @64px — tests/CI only
     "resnet_small": (1024, 128, 64),  # 3-stage @128px → 8x8 grid (studies)
+    "resnet_xsmall": (512, 128, 256),  # 2-stage @128px → 16x16 grid (studies)
     "vit_test": (64, 96, 145),  # 12x12 grid + CLS — tests / pool ablation
 }
 

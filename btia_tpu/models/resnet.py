@@ -32,6 +32,12 @@ STAGE_SIZES = {  # torchvision layer multiplicities
     # separate the five organ sites; a from-scratch vit_test lacks the
     # inductive bias to read sub-patch glyph attributes).
     "resnet_small": (1, 1, 1),
+    # 2-stage variant (8× downsample, 512-d): 16×16 grid at 128 px.
+    # The r5 glyph probe (BENCH_NOTES) showed the 45-conjunction corpus
+    # is trivially readable at 8 px cells (small CNN: 0.98 val) while
+    # the 16×-downsampled resnet_small VQA tower stayed memorization-
+    # bound — attribute studies need the finer grid.
+    "resnet_xsmall": (1, 1),
 }
 
 
