@@ -45,19 +45,37 @@ def blind_best(train_items, val_items) -> float:
     return blind_best_accuracy(train_items, val_items, _SLOT_WORDS)
 
 
-def run_one(cfg, root, tag: str) -> dict:
+def run_one(cfg, root, tag: str, warm=None, return_best: bool = False):
+    """Train one arm. ``warm=(params, batch_stats)`` transfers the
+    VISION TRUNK only (image_encoder + its projection/LN + batch_stats)
+    from a curriculum stage-A run: question vocab ids are corpus-
+    dependent (frequency-ordered) so the question tower is not
+    transferable, and the head is what the study compares, so it must
+    train from scratch on the routed task; BTIA re-learns routing on
+    top of transferred features. ``return_best`` additionally returns
+    the best checkpoint's (params, batch_stats) for that transfer."""
     from btia_tpu.train.trainer import Trainer
 
     tr = Trainer(cfg, workdir=root / f"run_{tag}")
+    if warm is not None:
+        params = dict(tr.state.params)
+        for k in ("image_encoder", "img_proj", "img_ln"):
+            params[k] = warm[0][k]
+        tr.state = tr.state.replace(params=params, batch_stats=warm[1])
     history = tr.fit()
     best = max(h.get("val_accuracy", 0.0) for h in history)
     row = max(history, key=lambda h: h.get("val_accuracy", 0.0))
-    return {
+    result = {
         "val_accuracy": best,
         "val_closed_accuracy": row.get("val_closed_accuracy", 0.0),
         "val_open_accuracy": row.get("val_open_accuracy", 0.0),
         "train_accuracy": history[-1].get("train_accuracy", 0.0),
     }
+    if return_best:
+        # Same-run template → structure always matches the checkpoint.
+        state = tr.ckpt.restore(tr.state, best=True)
+        return result, (state.params, state.batch_stats)
+    return result
 
 
 def main() -> None:
@@ -138,6 +156,35 @@ def main() -> None:
         "point [B:9, ROADMAP r4 #1]",
     )
     ap.add_argument(
+        "--curriculum",
+        type=int,
+        default=0,
+        metavar="EPOCHS",
+        help="largevocab only: pre-train each arm's VISION TRUNK for "
+        "EPOCHS on a single-site variant of the corpus (no distractor "
+        "glyphs) before the routed 5-site task. Rationale (r5 pilots + "
+        "glyph_probe): with 4 distractors, soft attention early in "
+        "training averages the fine glyph signal away and the encoder "
+        "never learns to read it (val pinned at blind while train "
+        "memorizes); one-site images make the signal poolable — the "
+        "in-harness analogue of the pretrained encoders the reference "
+        "configs assume [B:7-B:11]",
+    )
+    ap.add_argument(
+        "--curriculum-images",
+        type=int,
+        default=0,
+        help="stage-A corpus size (default: --num-images)",
+    )
+    ap.add_argument(
+        "--encoder-lr-scale-b",
+        type=float,
+        default=None,
+        help="encoder LR scale for the WARM-STARTED stage-B run "
+        "(default: same as --encoder-lr-scale); 0.1 protects the "
+        "transferred trunk while the fresh fusion/head settles",
+    )
+    ap.add_argument(
         "--assert-gap",
         type=float,
         default=None,
@@ -179,6 +226,19 @@ def main() -> None:
         f"blind-best baseline = {blind:.3f}",
         flush=True,
     )
+
+    if args.curriculum and args.task != "largevocab":
+        ap.error("--curriculum is a largevocab-study option")
+    if args.curriculum:
+        n_a = args.curriculum_images or args.num_images
+        generate_synthetic_dataset(
+            root / "data_a",
+            num_images=n_a,
+            largevocab=True,
+            largevocab_sites=1,
+            seed=1,  # disjoint images from the routed stage-B corpus
+        )
+        print(f"stage-A corpus: {n_a} single-site images", flush=True)
 
     base = get_config("tiny_test")
     model0 = replace(base.model, image_encoder=args.image_encoder)
@@ -274,14 +334,46 @@ def main() -> None:
                     batch_size=args.batch_size,
                     eval_batch_size=max(args.batch_size, train.eval_batch_size),
                 )
+            # Synthetic sources are rendered AT encoder resolution —
+            # ship them at that size (the 256 floor would quadruple
+            # tunnel bytes for zero fidelity on TPU studies).
+            data = lambda sub: DataConfig(
+                dataset="vqa_rad",
+                data_dir=str(root / sub),
+                ingest_size=model.image_size,
+            )
+            warm = None
+            if args.curriculum:
+                cfg_a = Config(
+                    name=f"learn_{tag}_s{seed}_pre",
+                    model=model,
+                    data=data("data_a"),
+                    train=replace(train, epochs=args.curriculum),
+                    mesh=base.mesh,
+                )
+                ra, warm = run_one(
+                    cfg_a, root, f"{tag}_s{seed}_pre", return_best=True
+                )
+                print(
+                    f"{tag} seed={seed} stage-A (single-site): "
+                    f"val={ra['val_accuracy']:.3f}",
+                    flush=True,
+                )
+                if args.encoder_lr_scale_b is not None:
+                    # Protect the transferred trunk from the fresh
+                    # fusion/head's early gradient churn (the standard
+                    # pretrained-encoder fine-tuning recipe).
+                    train = replace(
+                        train, encoder_lr_scale=args.encoder_lr_scale_b
+                    )
             cfg = Config(
                 name=f"learn_{tag}_s{seed}",
                 model=model,
-                data=DataConfig(dataset="vqa_rad", data_dir=str(root / "data")),
+                data=data("data"),
                 train=train,
                 mesh=base.mesh,
             )
-            r = run_one(cfg, root, f"{tag}_s{seed}")
+            r = run_one(cfg, root, f"{tag}_s{seed}", warm=warm)
             per_seed.append(r)
             print(
                 f"{tag} seed={seed}: val={r['val_accuracy']:.3f} "

@@ -100,6 +100,12 @@ class DataConfig:
     closed_only: bool = False  # VQA-RAD closed-ended subset [B:7]
     language: str = "en"  # SLAKE filter [B:8]
     num_workers: int = 2
+    # Host→device uint8 ship size; 0 = max(256, model.image_size). The
+    # 256 floor keeps on-device resize headroom for real corpora (512px
+    # DICOMs), but when the SOURCE images are already at encoder
+    # resolution (synthetic studies), shipping 256px quadruples tunnel
+    # bytes for zero fidelity — set ingest_size = image size there.
+    ingest_size: int = 0
 
 
 @dataclasses.dataclass(frozen=True)

@@ -32,8 +32,11 @@ class DataModule:
     @property
     def ingest_size(self) -> int:
         # Host ships uint8 at (slightly above) encoder resolution; the
-        # on-device transform does the final resize [B:5].
-        return max(256, self.cfg.model.image_size)
+        # on-device transform does the final resize [B:5]. Configs whose
+        # sources are already at encoder resolution override via
+        # data.ingest_size (tunnel bandwidth, ~43 MB/s, is the binding
+        # host→device constraint — BENCH_NOTES).
+        return self.cfg.data.ingest_size or max(256, self.cfg.model.image_size)
 
     def iterator(
         self, split: str, shuffle: bool = False, seed: int = 0,

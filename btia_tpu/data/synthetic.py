@@ -202,7 +202,11 @@ def _glyph_mask(
     raise ValueError(shape)
 
 
-def _largevocab_labels(rng: np.random.RandomState):
+def _largevocab_labels(rng: np.random.RandomState, sites: int = 0):
+    """``sites`` < 5 keeps a random subset of organ sites (the reading
+    curriculum's stage A renders ONE site so the glyph signal survives
+    soft attention pooling — see learnability.py --curriculum). The
+    default draws are stream-identical to the original generator."""
     per_organ = {
         o: (
             _ATTR_SHAPES[rng.randint(len(_ATTR_SHAPES))],
@@ -212,6 +216,10 @@ def _largevocab_labels(rng: np.random.RandomState):
         for o in _ORGANS
     }
     modality = _MODALITIES[rng.randint(len(_MODALITIES))]
+    if 0 < sites < len(_ORGANS):
+        idx = rng.choice(len(_ORGANS), size=sites, replace=False)
+        keep = {_ORGANS[i] for i in idx}
+        per_organ = {o: v for o, v in per_organ.items() if o in keep}
     return per_organ, modality
 
 
@@ -258,10 +266,13 @@ def _largevocab_qa(rng: np.random.RandomState, per_organ: dict):
     3 sizes × 5 shapes = 45 compound answers, all OPEN. Four reads per
     render (vs the original two) doubles the routing supervision each
     image provides, which the from-scratch encoder needs to generalize
-    glyph attributes to unseen images."""
-    idx = rng.choice(len(_ORGANS), size=4, replace=False)
+    glyph attributes to unseen images. With a site-subset corpus
+    (curriculum stage A) every rendered site is asked."""
+    organs = list(per_organ)
+    k = min(4, len(organs))
+    idx = rng.choice(len(organs), size=k, replace=False)
     out = []
-    for organ in (_ORGANS[i] for i in idx):
+    for organ in (organs[i] for i in idx):
         shape, size_word, intensity = per_organ[organ]
         out.append(
             (
@@ -318,6 +329,7 @@ def generate_synthetic_dataset(
     val_frac: float = 0.25,
     compositional: bool = False,
     largevocab: bool = False,
+    largevocab_sites: int = 0,
 ) -> Dict[str, List[VQASample]]:
     """Write a VQA-RAD-format corpus (JPEGs + 1 DICOM + JSON) and load it.
 
@@ -342,6 +354,8 @@ def generate_synthetic_dataset(
     has a 45-answer compound vocabulary ({intensity} {size} {shape}) —
     the AD head's design point [B:9, ROADMAP r4 #1]. Four distractor
     glyphs per image make any pooled image read a superposition.
+    largevocab_sites limits each image to a random subset of sites
+    (stage A of the reading curriculum — see learnability.py).
     """
     if compositional or largevocab:
         learnable = True
@@ -356,7 +370,7 @@ def generate_synthetic_dataset(
     items = []
     for i in range(num_images):
         if largevocab:
-            per_organ, modality = _largevocab_labels(rng)
+            per_organ, modality = _largevocab_labels(rng, largevocab_sites)
             arr = _render_largevocab(rng, per_organ, modality)
         elif compositional:
             o1, a1, o2, a2, modality = _compositional_labels(rng)
