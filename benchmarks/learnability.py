@@ -73,8 +73,15 @@ def run_one(cfg, root, tag: str, warm=None, return_best: bool = False):
     }
     if return_best:
         # Same-run template → structure always matches the checkpoint.
+        # Snapshot to host numpy: the first warm-started run DONATES its
+        # input arrays to the jitted train step, which would delete a
+        # device-array cache entry out from under later arms.
+        import jax
+        import numpy as np
+
         state = tr.ckpt.restore(tr.state, best=True)
-        return result, (state.params, state.batch_stats)
+        host = jax.tree.map(np.asarray, (state.params, state.batch_stats))
+        return result, host
     return result
 
 
@@ -313,6 +320,12 @@ def main() -> None:
             )
 
     results: dict = {}
+    # Stage-A trunks are shared across arms with the same trunk config
+    # (head/fusion variants differ only above the trunk): every arm
+    # fine-tunes the IDENTICAL pretrained vision trunk, so the head
+    # comparison carries no trunk-training variance — and stage A runs
+    # once per seed instead of once per arm.
+    warm_cache: dict = {}
     for tag, model in variants.items():
         per_seed = []
         for seed in range(args.seeds):
@@ -344,21 +357,30 @@ def main() -> None:
             )
             warm = None
             if args.curriculum:
-                cfg_a = Config(
-                    name=f"learn_{tag}_s{seed}_pre",
-                    model=model,
-                    data=data("data_a"),
-                    train=replace(train, epochs=args.curriculum),
-                    mesh=base.mesh,
+                trunk_key = (
+                    seed,
+                    model.image_encoder,
+                    model.hidden_dim,
+                    model.image_pool_grid,
+                    model.image_size,
                 )
-                ra, warm = run_one(
-                    cfg_a, root, f"{tag}_s{seed}_pre", return_best=True
-                )
-                print(
-                    f"{tag} seed={seed} stage-A (single-site): "
-                    f"val={ra['val_accuracy']:.3f}",
-                    flush=True,
-                )
+                if trunk_key not in warm_cache:
+                    cfg_a = Config(
+                        name=f"learn_{tag}_s{seed}_pre",
+                        model=model,
+                        data=data("data_a"),
+                        train=replace(train, epochs=args.curriculum),
+                        mesh=base.mesh,
+                    )
+                    ra, warm_cache[trunk_key] = run_one(
+                        cfg_a, root, f"{tag}_s{seed}_pre", return_best=True
+                    )
+                    print(
+                        f"{tag} seed={seed} stage-A (single-site): "
+                        f"val={ra['val_accuracy']:.3f}",
+                        flush=True,
+                    )
+                warm = warm_cache[trunk_key]
                 if args.encoder_lr_scale_b is not None:
                     # Protect the transferred trunk from the fresh
                     # fusion/head's early gradient churn (the standard
