@@ -163,6 +163,20 @@ def main() -> None:
         "point [B:9, ROADMAP r4 #1]",
     )
     ap.add_argument(
+        "--sites",
+        type=int,
+        default=0,
+        help="largevocab only: render each MAIN-corpus image with this "
+        "many organ sites (default 0 = all five). --sites 1 is the "
+        "single-site READING substrate: the r5 pilots showed the 5-site "
+        "routed task is unlearnable from scratch (soft attention averages "
+        "the glyph signal away), so the head comparison [B:9] runs where "
+        "reading IS learnable (stage-A val 0.838 at 40 epochs) and the "
+        "only variable is the head: per-answer query attention vs a "
+        "mean-pool classifier whose pooling dilutes the ~2x2-cell glyph "
+        "across the 16x16 grid",
+    )
+    ap.add_argument(
         "--curriculum",
         type=int,
         default=0,
@@ -220,12 +234,15 @@ def main() -> None:
     _SLOT_WORDS = set(synthetic._PLANES) | set(synthetic._ORGANS)
 
     root = Path(tempfile.mkdtemp(prefix="learnstudy_"))
+    if args.sites and args.task != "largevocab":
+        ap.error("--sites is a largevocab-study option")
     splits = generate_synthetic_dataset(
         root / "data",
         num_images=args.num_images,
         learnable=True,
         compositional=args.task == "compositional",
         largevocab=args.task == "largevocab",
+        largevocab_sites=args.sites,
     )
     blind = blind_best(splits["train"], splits["val"])
     print(
