@@ -382,9 +382,16 @@ def main() -> None:
                     model.image_size,
                 )
                 if trunk_key not in warm_cache:
+                    # Stage A exists to teach the TRUNK to read; always
+                    # run it with the fast-optimizing mlp head (measured
+                    # r5: from-scratch single-site V=45 trains to 1.0
+                    # with mlp vs 0.6 with the ad head at 40 epochs), so
+                    # a slow-optimizing base head can't starve every
+                    # arm's shared trunk. Only the trunk transfers
+                    # (run_one), so the head comparison is untouched.
                     cfg_a = Config(
                         name=f"learn_{tag}_s{seed}_pre",
-                        model=model,
+                        model=replace(model, head="mlp"),
                         data=data("data_a"),
                         train=replace(train, epochs=args.curriculum),
                         mesh=base.mesh,
