@@ -108,6 +108,25 @@ class TestLargeVocab:
         )
         assert blind < 0.15, f"blind-best {blind:.3f} too strong for V=45"
 
+    def test_single_site_substrate(self, tmp_path):
+        """--sites 1 renders the READING substrate the r5 head study
+        runs on (the routed 5-site task is unlearnable from scratch —
+        BENCH_NOTES r5 pilots): one organ site per image, one routed
+        question, full 45-way conjunction vocabulary, blind still weak."""
+        splits = generate_synthetic_dataset(
+            tmp_path, num_images=160, largevocab=True, largevocab_sites=1
+        )
+        by_img: dict = {}
+        for s in splits["train"] + splits["val"]:
+            by_img.setdefault(s.image_path, []).append(s)
+        assert all(len(v) == 1 for v in by_img.values())
+        answers = {s.answer for s in splits["train"]}
+        assert len(answers) >= 35, f"only {len(answers)} distinct answers"
+        blind = blind_best_accuracy(
+            splits["train"], splits["val"], set(synthetic._ORGANS)
+        )
+        assert blind < 0.15, f"blind-best {blind:.3f} too strong for V=45"
+
     def test_questions_route_to_distinct_sites(self, corpus):
         _, splits = corpus
         by_img: dict = {}
